@@ -1,0 +1,411 @@
+"""Deterministic text-extraction and name-normalization kernels.
+
+These are *behavior-parity* re-implementations of the reference system's
+deterministic extraction surface, written as pure functions over plain
+strings / pandas batches so that
+
+  * Spark can call them from Arrow-batched ``applyInPandas`` UDFs, and
+  * pytest can compare them 1:1 against the reference kernels
+    (``/root/reference/src/core/extraction/structural_extractor.py`` and
+    ``/root/reference/src/core/extraction/extraction_pipeline.py``)
+    imported directly as the oracle.
+
+Parity targets (reference file:line):
+  - party captions / contract roles .... structural_extractor.py:53-77, 165-230
+  - defined terms ...................... structural_extractor.py:80-89, 132-163
+  - dates + context classification ..... structural_extractor.py:92-101, 275-318
+  - case numbers ....................... structural_extractor.py:104-109, 320-330
+  - court / tribunal ................... structural_extractor.py:332-350
+  - document-type detection ............ structural_extractor.py:248-273
+  - org/person name normalization ...... extraction_pipeline.py:69-152
+  - entity-type validation ............. extraction_pipeline.py:154-196
+  - pairwise name similarity ........... extraction_pipeline.py:208-255
+
+The regex pattern strings and threshold constants ARE the spec — they must
+match the reference bit-for-bit or triple P/R drops.  All surrounding code
+(vectorization, data-driven tables, span bookkeeping) is original.
+"""
+from __future__ import annotations
+
+import re
+from difflib import SequenceMatcher
+from typing import Any, Dict, List, Optional, Tuple
+
+# --------------------------------------------------------------------------
+# Pattern tables (spec constants; see module docstring for provenance)
+# --------------------------------------------------------------------------
+
+_ORG_NAME = r'([A-Z][A-Za-z&\s\.]{2,58}(?:Inc\.|Corp\.|LLC|LLP|Ltd\.|Corporation|Company)?)'
+
+_LITIGATION_ROLES = ("Plaintiff", "Defendant", "Claimant", "Respondent",
+                     "Petitioner", "Appellant", "Appellee")
+_CONTRACT_ROLES = ("Buyer", "Seller", "Lessor", "Lessee", "Licensor", "Licensee",
+                   "Borrower", "Lender", "Company", "Customer", "Vendor",
+                   "Contractor", "Client")
+
+# (compiled_pattern, role) in the reference's declaration order: litigation
+# captions first, then contract defined-role forms.
+PARTY_PATTERNS: List[Tuple[re.Pattern, str]] = (
+    [(re.compile(rf'{_ORG_NAME}\s*,\s*{r}\b', re.IGNORECASE), r.lower())
+     for r in _LITIGATION_ROLES]
+    + [(re.compile(rf'{_ORG_NAME}\s*\(\s*(?:the\s+)?["\']{r}["\']\s*\)', re.IGNORECASE),
+        r.lower())
+       for r in _CONTRACT_ROLES]
+)
+
+DEFINED_TERM_PATTERNS: List[re.Pattern] = [
+    re.compile(p, re.IGNORECASE) for p in (
+        r'["\']([A-Z][A-Za-z\s]+)["\']?\s+(?:means?|shall mean|refers? to|is defined as)\s+([^.;]+[.;])',
+        r'\((?:the\s+)?["\']([A-Z][A-Za-z\s]+)["\']\)',
+        r'hereinafter\s+(?:referred to as\s+)?["\']([A-Z][A-Za-z\s]+)["\']',
+        r'collectively,?\s+(?:the\s+)?["\']([A-Z][A-Za-z\s]+)["\']',
+    )
+]
+
+_MONTHS = (r'(?:January|February|March|April|May|June|July|August|September|'
+           r'October|November|December)')
+DATE_PATTERNS: List[re.Pattern] = [
+    re.compile(p) for p in (
+        rf'({_MONTHS}\s+\d{{1,2}},?\s+\d{{4}})',
+        r'(\d{1,2}/\d{1,2}/\d{2,4})',
+        r'(\d{4}-\d{2}-\d{2})',
+        rf'(\d{{1,2}}(?:st|nd|rd|th)\s+day\s+of\s+{_MONTHS},?\s+\d{{4}})',
+    )
+]
+
+CASE_NUMBER_PATTERNS: List[re.Pattern] = [
+    re.compile(p, re.IGNORECASE) for p in (
+        r'(?:Case|Cause|Docket|Matter)\s*(?:No\.?|Number|#)\s*[:.]?\s*([A-Z0-9\-:]+)',
+        r'(\d{1,2}[:-]cv[:-]\d+)',
+        r'(\d{1,2}[:-]cr[:-]\d+)',
+        r'([A-Z]{2,3}\s*\d{4}[:-]\d+)',
+    )
+]
+
+COURT_PATTERNS: List[re.Pattern] = [
+    re.compile(p) for p in (
+        r'(?:IN THE\s+)?([A-Z][A-Za-z\s]+(?:COURT|TRIBUNAL|ARBITRATION|PANEL)[A-Za-z\s]*)',
+        r'(?:BEFORE THE\s+)?([A-Z][A-Za-z\s]+(?:COURT|TRIBUNAL|ARBITRATION|PANEL)[A-Za-z\s]*)',
+        r'(?:AMERICAN ARBITRATION ASSOCIATION)',
+        r'(?:JAMS)',
+        r'(?:ICC ARBITRATION)',
+    )
+]
+
+PARTY_SECTION_PATTERNS: List[re.Pattern] = [
+    re.compile(p, re.IGNORECASE) for p in (
+        r'PARTIES\s*\n([\s\S]{0,2000}?)(?=\n[A-Z]{3,}|\n\d+\.\s)',
+        r'THE PARTIES\s*\n([\s\S]{0,2000}?)(?=\n[A-Z]{3,}|\n\d+\.\s)',
+        r'(?:BETWEEN|By and Between)[:\s]*([\s\S]{0,1500}?)(?=\n[A-Z]{3,}|\nWHEREAS)',
+    )
+]
+
+# Ordered: first matching indicator wins.
+DOC_TYPE_INDICATORS: List[Tuple[str, Tuple[str, ...]]] = [
+    ('complaint', ('complaint', 'plaintiff hereby alleges', 'plaintiff brings this action')),
+    ('answer', ('answer to complaint', 'defendant answers', 'defendant hereby answers')),
+    ('motion', ('motion to', 'moves this court', 'motion for')),
+    ('brief', ('brief in support', 'memorandum of law', 'legal memorandum',
+               'pre-hearing brief', 'prehearing brief')),
+    ('contract', ('agreement', 'contract', 'hereby agree', 'terms and conditions')),
+    ('deposition', ('deposition of', 'deposition transcript', 'q.', 'a.')),
+    ('affidavit', ('affidavit', 'being duly sworn', 'swear under penalty')),
+    ('witness_statement', ('witness statement', 'statement of')),
+    ('expert_report', ('expert report', 'expert opinion', 'expert witness')),
+    ('discovery', ('request for production', 'interrogatories', 'request for admission')),
+    ('order', ('order of the court', 'it is hereby ordered', 'so ordered')),
+    ('statement_of_claim', ('statement of claim', 'claimant states')),
+    ('settlement', ('settlement agreement', 'settlement', 'compromise')),
+]
+
+DATE_CONTEXT_CLASSES: List[Tuple[str, Tuple[str, ...]]] = [
+    ('effective_date', ('effective', 'commence', 'begin', 'start')),
+    ('expiration_date', ('expire', 'termination', 'end')),
+    ('execution_date', ('sign', 'execute', 'dated')),
+    ('deadline', ('due', 'deadline', 'by')),
+    ('filing_date', ('file', 'filed')),
+]
+
+_TERM_STOPLIST = frozenset(('the', 'this', 'that', 'such', 'said', 'any', 'all'))
+_PARTY_SKIP = frozenset(('the', 'this', 'that', 'party', 'parties', 'pursuant',
+                         'statement', 'claim', 'amended', 'demand', 'arbitration',
+                         'resolution', 'rules', 'procedures', 'against'))
+_SENTENCE_WORDS = frozenset(('is', 'are', 'was', 'were', 'has', 'have', 'hereby',
+                             'submits', 'brings'))
+
+_WS = re.compile(r'\s+')
+
+
+# --------------------------------------------------------------------------
+# Structural extraction
+# --------------------------------------------------------------------------
+
+def find_party_section(text: str) -> str:
+    """Caption/party section of the document, '' if none."""
+    for pat in PARTY_SECTION_PATTERNS:
+        m = pat.search(text)
+        if m:
+            return m.group(1)
+    return ""
+
+
+def extract_parties(text: str) -> List[Dict[str, Any]]:
+    """Party names + roles from caption-ish text.
+
+    Returns dicts ``{name, role, aliases, span_start, span_end}`` matching
+    the reference ``Party`` dataclass field-for-field (aliases compared as
+    sets — the reference materializes them through ``list(set(...))``).
+    """
+    region = find_party_section(text) or text[:3000]
+    out: List[Dict[str, Any]] = []
+    seen: set = set()
+
+    for pat, role in PARTY_PATTERNS:
+        for m in pat.finditer(region):
+            name = _WS.sub(' ', m.group(1).strip()).strip(' ,.')
+            low = name.lower()
+            if len(name) < 3 or len(name) > 80 or low in seen:
+                continue
+            words = name.split()
+            if len(words) > 8 or low in _PARTY_SKIP:
+                continue
+            if any(w.lower() in _SENTENCE_WORDS for w in words):
+                continue
+            seen.add(low)
+
+            aliases = [name]
+            am = re.search(rf'{re.escape(name)}.*?["\']([A-Za-z]+)["\']',
+                           region, re.IGNORECASE)
+            aliases.append(am.group(1) if am else role.capitalize())
+
+            out.append({
+                'name': name,
+                'role': role,
+                'aliases': sorted(set(aliases)),
+                'span_start': m.start(),
+                'span_end': m.end(),
+            })
+    return out
+
+
+def extract_defined_terms(text: str) -> List[Dict[str, Any]]:
+    """Defined terms: ``{term, definition, aliases, span_start, span_end}``."""
+    out: List[Dict[str, Any]] = []
+    seen: set = set()
+    for pat in DEFINED_TERM_PATTERNS:
+        for m in pat.finditer(text):
+            term = m.group(1).strip()
+            low = term.lower()
+            if low in seen or len(term) < 2 or len(term) > 50 or low in _TERM_STOPLIST:
+                continue
+            seen.add(low)
+            definition = m.group(2).strip() if len(m.groups()) > 1 and m.group(2) else ""
+            out.append({
+                'term': term,
+                'definition': definition[:500],
+                'aliases': [term],
+                'span_start': m.start(),
+                'span_end': m.end(),
+            })
+    return out
+
+
+def classify_date_context(context: str) -> str:
+    low = context.lower()
+    for label, words in DATE_CONTEXT_CLASSES:
+        if any(w in low for w in words):
+            return label
+    return 'date'
+
+
+def extract_dates(text: str, limit: int = 20) -> List[Dict[str, Any]]:
+    """Dates with ±50-char context classification; first 20 distinct strings."""
+    out: List[Dict[str, Any]] = []
+    seen: set = set()
+    for pat in DATE_PATTERNS:
+        for m in pat.finditer(text):
+            s = m.group(1)
+            if s in seen:
+                continue
+            seen.add(s)
+            ctx = text[max(0, m.start() - 50):min(len(text), m.end() + 50)]
+            out.append({
+                'date': s,
+                'type': classify_date_context(ctx),
+                'span_start': m.start(),
+                'span_end': m.end(),
+                'context': ctx,
+            })
+    return out[:limit]
+
+
+def extract_case_number(text: str) -> str:
+    head = text[:1000]
+    for pat in CASE_NUMBER_PATTERNS:
+        m = pat.search(head)
+        if m:
+            return m.group(1).strip()
+    return ""
+
+
+def extract_court(text: str) -> str:
+    head = text[:1500]
+    for pat in COURT_PATTERNS:
+        m = pat.search(head)
+        if m:
+            return (m.group(0) if m.lastindex is None else m.group(1)).strip()
+    return ""
+
+
+def detect_document_type(text: str) -> str:
+    head = text[:2000].lower()
+    for doc_type, indicators in DOC_TYPE_INDICATORS:
+        if any(ind in head for ind in indicators):
+            return doc_type
+    return 'unknown'
+
+
+def extract_structural(text: str) -> Dict[str, Any]:
+    """Full structural extraction over one document string."""
+    return {
+        'parties': extract_parties(text),
+        'defined_terms': extract_defined_terms(text),
+        'key_dates': extract_dates(text),
+        'case_number': extract_case_number(text),
+        'court': extract_court(text),
+        'document_type': detect_document_type(text),
+    }
+
+
+# --------------------------------------------------------------------------
+# Name normalization / typing / similarity (ER kernels)
+# --------------------------------------------------------------------------
+
+ORG_SUFFIXES: Tuple[str, ...] = (
+    ', Inc.', ', Inc', ' Inc.', ' Inc', ' LLC', ' L.L.C.', ' LLP', ' L.L.P.',
+    ', Ltd.', ', Ltd', ' Ltd.', ' Ltd', ' Corp.', ' Corp', ' Corporation',
+    ' Co.', ' Co', ' Company', ' & Co.', ' & Co', ' PLC', ' plc',
+    ' Limited', ' Incorporated', ' Associates', ' & Associates',
+    ' Partners', ' & Partners', ' Group', ' Holdings', ' International',
+)
+
+PERSON_PREFIXES: Tuple[str, ...] = (
+    'Mr. ', 'Mrs. ', 'Ms. ', 'Miss ', 'Dr. ', 'Prof. ', 'Professor ',
+    'Hon. ', 'Honorable ', 'Judge ', 'Justice ', 'Sen. ', 'Senator ',
+    'Rep. ', 'Representative ', 'Atty. ', 'Attorney ', 'Esq.',
+)
+
+PERSON_SUFFIXES: Tuple[str, ...] = (
+    ', Jr.', ', Jr', ' Jr.', ' Jr', ', Sr.', ', Sr', ' Sr.', ' Sr',
+    ', III', ' III', ', II', ' II', ', IV', ' IV', ', Esq.', ', Esq',
+    ' Esq.', ' Esq',
+)
+
+ABBREVIATIONS: Dict[str, str] = {
+    'intl': 'international', "int'l": 'international',
+    'natl': 'national', "nat'l": 'national',
+    'corp': 'corporation', 'assoc': 'associates', 'mgmt': 'management',
+    'svcs': 'services', 'svc': 'service', 'tech': 'technology',
+    'sys': 'systems', 'grp': 'group', 'hldgs': 'holdings',
+    'mfg': 'manufacturing', 'dist': 'distribution', 'dev': 'development',
+}
+
+ORG_TYPE_INDICATORS: Tuple[str, ...] = (
+    'corporation', 'corp.', 'corp', 'incorporated', 'inc.', 'inc',
+    'limited', 'ltd.', 'ltd', 'llc', 'l.l.c.', 'llp', 'l.l.p.',
+    'company', 'co.', 'holdings', 'group', 'partners', 'associates',
+    'enterprises', 'industries', 'international', 'solutions',
+    'services', 'systems', 'technologies', 'aerospace', 'aviation',
+    'foundation', 'institute', 'association', 'plc', 'gmbh', 'ag',
+)
+
+
+def normalize_org_name(name: str) -> str:
+    n = name.strip()
+    for suffix in ORG_SUFFIXES:
+        if n.endswith(suffix):
+            n = n[:-len(suffix)].strip()
+        elif n.lower().endswith(suffix.lower()):
+            n = n[:-len(suffix)].strip()
+    words = []
+    for w in n.split():
+        words.append(ABBREVIATIONS.get(w.lower().rstrip('.,'), w))
+    return ' '.join(words).strip()
+
+
+def normalize_person_name(name: str) -> str:
+    n = name.strip()
+    for prefix in PERSON_PREFIXES:
+        if n.startswith(prefix):
+            n = n[len(prefix):].strip()
+        elif n.lower().startswith(prefix.lower()):
+            n = n[len(prefix):].strip()
+    for suffix in PERSON_SUFFIXES:
+        if n.endswith(suffix):
+            n = n[:-len(suffix)].strip()
+    return n.strip()
+
+
+def normalize_name(name: str, entity_type: Optional[str] = None) -> str:
+    if entity_type == 'Organization':
+        return normalize_org_name(name)
+    if entity_type == 'Person':
+        return normalize_person_name(name)
+    return name.strip()
+
+
+def validate_entity_type(name: str, claimed_type: str) -> str:
+    """Correct obviously-mistyped Person/Organization labels from name cues."""
+    low = name.lower()
+    for ind in ORG_TYPE_INDICATORS:
+        if ind in low:
+            return 'Organization' if claimed_type == 'Person' else claimed_type
+    for prefix in PERSON_PREFIXES:
+        if low.startswith(prefix.lower()):
+            return 'Person' if claimed_type == 'Organization' else claimed_type
+    if name.isupper() and len(name) > 3:
+        words = name.split()
+        if len(words) > 1 and any(i in low for i in ('aerospace', 'corp', 'inc', 'ltd')):
+            if claimed_type == 'Person':
+                return 'Organization'
+    return claimed_type
+
+
+def name_similarity(name1: str, name2: str, entity_type: Optional[str] = None) -> float:
+    """Pairwise entity-name similarity in [0, 1].
+
+    Tiers: exact-after-normalize (1.0) > containment (0.7 + 0.3·len ratio) >
+    org word-Jaccard (0.6 + 0.4·J when J > 0.5) > person lastname+first/initial
+    (0.95 / 0.8) > difflib SequenceMatcher ratio.
+    """
+    n1 = normalize_name(name1, entity_type).lower()
+    n2 = normalize_name(name2, entity_type).lower()
+    if n1 == n2:
+        return 1.0
+    if n1 in n2 or n2 in n1:
+        shorter, longer = min(len(n1), len(n2)), max(len(n1), len(n2))
+        return 0.7 + (0.3 * shorter / longer)
+    if entity_type == 'Organization':
+        w1, w2 = set(n1.split()), set(n2.split())
+        if w1 and w2:
+            overlap = len(w1 & w2)
+            if overlap > 0:
+                jaccard = overlap / len(w1 | w2)
+                if jaccard > 0.5:
+                    return 0.6 + (0.4 * jaccard)
+    if entity_type == 'Person':
+        p1, p2 = n1.split(), n2.split()
+        if len(p1) >= 2 and len(p2) >= 2 and p1[-1] == p2[-1]:
+            if p1[0] == p2[0]:
+                return 0.95
+            if p1[0][0] == p2[0][0]:
+                return 0.8
+    return SequenceMatcher(None, n1, n2).ratio()
+
+
+def classify_party_type(name: str) -> str:
+    """Org vs Person for structural parties (reference stores Organization iff
+    the raw name carries a corporate marker — extraction_pipeline.py:548)."""
+    return ('Organization'
+            if any(c in name for c in ('Inc', 'Corp', 'LLC', 'Ltd', 'LLP'))
+            else 'Person')

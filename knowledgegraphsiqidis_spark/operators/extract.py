@@ -1,0 +1,103 @@
+"""Stage 1 — per-conversation structural extraction.
+
+Each conversation's turns are assembled (stable ``turn_idx`` order,
+newline-joined — the reference fed one whole document string per source file
+to ``StructuralExtractor.extract``; for transcripts the conversation IS the
+document) and pushed through the deterministic kernels in
+``functions.textops``.  Runs as ``groupBy(conv_id).applyInPandas`` — one
+shuffle on conv_id, then pure Arrow-batched pandas on executors; no
+driver-side work and no per-row Python.
+
+Span offsets into the concatenated document are mapped back to
+(turn_idx, in-turn offset) with a searchsorted over cumulative turn lengths,
+preserving the reference's character-level provenance spans
+(structural_extractor.py:155-161, 222-228) while keeping per-turn
+addressability (input_hint: per-turn text equality under stable ordering).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import textops
+from ..schemas import EXTRACTIONS
+
+_COLS = [f.name for f in EXTRACTIONS.fields]
+
+
+def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Structural extraction for one conversation (pandas in/out)."""
+    out: List[dict] = []
+    for conv_id, grp in pdf.groupby("conv_id", sort=False):
+        grp = grp.sort_values("turn_idx")
+        texts = grp["text"].fillna("").tolist()
+        turn_ids = grp["turn_idx"].to_numpy()
+        doc = "\n".join(texts)
+        # starts[i] = offset of turn i in doc
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+
+        def turn_of(span_start: int) -> int:
+            i = int(np.searchsorted(starts, span_start, side="right") - 1)
+            return int(turn_ids[max(i, 0)])
+
+        res = textops.extract_structural(doc)
+        seq = 0
+        base = dict.fromkeys(_COLS)
+        for p in res["parties"]:
+            # Structural parties are typed by the corporate-marker rule alone
+            # (extraction_pipeline.py:548); validate_entity_type applies to the
+            # pluggable semantic-entity path, not here.
+            etype = textops.classify_party_type(p["name"])
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "party",
+                        "name": p["name"], "entity_type": etype,
+                        "norm_name": textops.normalize_name(p["name"], etype),
+                        "role": p["role"], "aliases": p["aliases"],
+                        "turn_idx": turn_of(p["span_start"]),
+                        "span_start": p["span_start"], "span_end": p["span_end"]})
+            seq += 1
+        for t in res["defined_terms"]:
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "term",
+                        "name": t["term"], "entity_type": "Reference",
+                        "norm_name": textops.normalize_name(t["term"], "Reference"),
+                        "definition": t["definition"], "aliases": t["aliases"],
+                        "turn_idx": turn_of(t["span_start"]),
+                        "span_start": t["span_start"], "span_end": t["span_end"]})
+            seq += 1
+        for d in res["key_dates"]:
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "date",
+                        "name": d["date"], "entity_type": "Date",
+                        "norm_name": d["date"], "date_type": d["type"],
+                        "turn_idx": turn_of(d["span_start"]),
+                        "span_start": d["span_start"], "span_end": d["span_end"]})
+            seq += 1
+        if res["document_type"] != "unknown":
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "doc",
+                        "name": f"Doc_{conv_id}", "entity_type": "Document",
+                        "norm_name": f"Doc_{conv_id}",
+                        "doc_type": res["document_type"],
+                        "case_number": res["case_number"], "court": res["court"]})
+            seq += 1
+    return pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame(
+        {c: pd.Series(dtype=object) for c in _COLS})
+
+
+def extract_stage(transcripts: DataFrame) -> DataFrame:
+    """transcripts → long-format extraction records (one shuffle on conv_id)."""
+    return (transcripts
+            .select("conv_id", "turn_idx", "text")
+            .groupBy("conv_id")
+            .applyInPandas(extract_conversation, schema=EXTRACTIONS))
+
+
+def mentions_from_extractions(extractions: DataFrame) -> DataFrame:
+    return (extractions
+            .filter(F.col("kind").isin("party", "term", "date"))
+            .select("conv_id", "turn_idx", "span_start", "span_end",
+                    F.col("name").alias("surface_text"),
+                    "entity_type", "norm_name", "kind", "seq"))

@@ -1,0 +1,103 @@
+"""The extract → resolve → build pipeline (reference G1 as a Spark DAG).
+
+Stage boundaries are checkpointed parquet tables (Iceberg-shaped layout —
+one directory per stage table; swap ``_write``/``_read`` for
+``writeTo(...).append()`` when an Iceberg catalog is configured).  A stage
+whose output already exists is NOT recomputed — that is the resume contract
+(north_rule): kill the job after any stage and rerun; finished stages load
+from their checkpoint, mirroring the reference's file-hash skip
+(extraction_pipeline.py:303-307) at stage granularity.
+
+Per-stage, per-partition lineage rows (rows_out, conv range, checksum) are
+appended to ``<out>/lineage``.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import extract, infer, materialize
+
+STAGES = ("extractions", "raw_triples", "nodes", "edges", "forms",
+          "aliases", "mentions")
+
+
+@dataclass
+class PipelineResult:
+    tables: dict = field(default_factory=dict)
+
+    def __getattr__(self, name):
+        try:
+            return self.tables[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def triples(self) -> DataFrame:
+        return materialize.triples_view(self.tables["edges"], self.tables["nodes"])
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+class KGPipeline:
+    def __init__(self, spark: SparkSession, out_dir: str | None = None,
+                 threshold: float = 0.8, max_block: int = 200,
+                 lineage: bool = True):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.threshold = threshold
+        self.max_block = max_block
+        self.lineage = lineage and out_dir is not None
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.out_dir, stage)
+
+    def _checkpoint(self, df: DataFrame, stage: str,
+                    conv_col: str | None = "conv_id") -> DataFrame:
+        """Write stage table once, then read it back (resume point)."""
+        if self.out_dir is None:
+            return df
+        path = self._path(stage)
+        if not _done(path):
+            df.write.mode("overwrite").parquet(path)
+            if self.lineage and conv_col and conv_col in df.columns:
+                out = self.spark.read.parquet(path)
+                (materialize.lineage_for(out, stage, conv_col)
+                 .write.mode("append").parquet(os.path.join(self.out_dir, "lineage")))
+        return self.spark.read.parquet(path)
+
+    def run(self, transcripts: DataFrame) -> PipelineResult:
+        r = PipelineResult()
+
+        ext = self._checkpoint(extract.extract_stage(transcripts), "extractions")
+        r.tables["extractions"] = ext
+
+        raw = self._checkpoint(infer.infer_stage(ext), "raw_triples")
+        r.tables["raw_triples"] = raw
+
+        forms_c, nodes = materialize.canonical_map(
+            ext, threshold=self.threshold, max_block=self.max_block)
+        forms_c = self._checkpoint(forms_c, "forms", conv_col=None)
+        nodes = self._checkpoint(nodes, "nodes", conv_col=None)
+        r.tables["forms"] = forms_c
+        r.tables["nodes"] = nodes
+
+        mention_map = materialize.mention_component_map(ext, forms_c)
+        edges = self._checkpoint(
+            materialize.materialize_edges(raw, mention_map), "edges",
+            conv_col="provenance_doc_id")
+        r.tables["edges"] = edges
+
+        r.tables["aliases"] = self._checkpoint(
+            materialize.aliases_table(ext, forms_c), "aliases", conv_col=None)
+        r.tables["mentions"] = self._checkpoint(
+            materialize.mentions_table(ext, forms_c), "mentions")
+        return r
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame,
+                 out_dir: str | None = None, **kw) -> PipelineResult:
+    return KGPipeline(spark, out_dir=out_dir, **kw).run(transcripts)
