@@ -51,7 +51,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _signature(edges: DataFrame):
     row = edges.select(
         F.count("*").alias("n"),
-        F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h")).collect()[0]
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h")).collect()[0]
     return row["n"], row["h"]
 
 

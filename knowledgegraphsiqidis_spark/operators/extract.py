@@ -50,28 +50,32 @@ def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
         seq = 0
         base = dict.fromkeys(_COLS)
         for p in res["parties"]:
-            # Structural parties are typed by the corporate-marker rule alone
-            # (extraction_pipeline.py:548); validate_entity_type applies to the
-            # pluggable semantic-entity path, not here.
+            # entity_type: corporate-marker rule, what inference sees
+            # (extraction_pipeline.py:548, inference precedes resolution);
+            # er_type: validate_entity_type-corrected, what resolution uses
+            # (extraction_pipeline.py:628).
             etype = textops.classify_party_type(p["name"])
+            er_type = textops.validate_entity_type(p["name"], etype)
             out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "party",
-                        "name": p["name"], "entity_type": etype,
-                        "norm_name": textops.normalize_name(p["name"], etype),
+                        "name": p["name"], "entity_type": etype, "er_type": er_type,
+                        "norm_name": textops.normalize_name(p["name"], er_type),
                         "role": p["role"], "aliases": p["aliases"],
                         "turn_idx": turn_of(p["span_start"]),
                         "span_start": p["span_start"], "span_end": p["span_end"]})
             seq += 1
         for t in res["defined_terms"]:
+            er_type = textops.validate_entity_type(t["term"], "Reference")
             out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "term",
                         "name": t["term"], "entity_type": "Reference",
-                        "norm_name": textops.normalize_name(t["term"], "Reference"),
+                        "er_type": er_type,
+                        "norm_name": textops.normalize_name(t["term"], er_type),
                         "definition": t["definition"], "aliases": t["aliases"],
                         "turn_idx": turn_of(t["span_start"]),
                         "span_start": t["span_start"], "span_end": t["span_end"]})
             seq += 1
         for d in res["key_dates"]:
             out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "date",
-                        "name": d["date"], "entity_type": "Date",
+                        "name": d["date"], "entity_type": "Date", "er_type": "Date",
                         "norm_name": d["date"], "date_type": d["type"],
                         "turn_idx": turn_of(d["span_start"]),
                         "span_start": d["span_start"], "span_end": d["span_end"]})
@@ -79,7 +83,7 @@ def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
         if res["document_type"] != "unknown":
             out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "doc",
                         "name": f"Doc_{conv_id}", "entity_type": "Document",
-                        "norm_name": f"Doc_{conv_id}",
+                        "er_type": "Document", "norm_name": f"Doc_{conv_id}",
                         "doc_type": res["document_type"],
                         "case_number": res["case_number"], "court": res["court"]})
             seq += 1

@@ -23,7 +23,7 @@ def canonical_map(extractions: DataFrame,
                   max_block: int = 200) -> tuple[DataFrame, DataFrame]:
     """Returns (forms_with_component, nodes).
 
-    forms_with_component: entity_type, name, norm_name, form_key, component
+    forms_with_component: er_type, name, norm_name, form_key, component
     nodes: component (= entity id), type, canonical_name, confidence, status
     """
     forms = entity_forms(extractions).cache()
@@ -38,7 +38,7 @@ def canonical_map(extractions: DataFrame,
     reps = (forms_c
             .groupBy("component")
             .agg(F.min_by("name", "form_key").alias("canonical_name"),
-                 F.min_by("entity_type", "form_key").alias("type"),
+                 F.min_by("er_type", "form_key").alias("type"),
                  F.sum("n_mentions").alias("n_mentions")))
     nodes = (reps.select(
         F.col("component").alias("id"), "type", "canonical_name",
@@ -56,9 +56,9 @@ def mention_component_map(extractions: DataFrame, forms_c: DataFrame) -> DataFra
     max_by(seq).
     """
     m = (extractions.filter(F.col("kind").isin("party", "term", "doc"))
-         .select("conv_id", "seq", "name", "entity_type"))
-    m = m.join(forms_c.select("entity_type", "name", "component"),
-               ["entity_type", "name"])
+         .select("conv_id", "seq", "name", "er_type"))
+    m = m.join(forms_c.select("er_type", "name", "component"),
+               ["er_type", "name"])
     return (m.groupBy("conv_id", F.lower("name").alias("name_l"))
             .agg(F.max_by("component", "seq").alias("component")))
 
@@ -101,9 +101,9 @@ def aliases_table(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
                               F.col("name").alias("alias_text"),
                               F.lit("extracted").alias("source")))
     quoted = (extractions.filter(F.col("kind") == "party")
-              .select("entity_type", "name", F.explode("aliases").alias("alias_text"))
-              .join(forms_c.select("entity_type", "name", "component"),
-                    ["entity_type", "name"])
+              .select("er_type", "name", F.explode("aliases").alias("alias_text"))
+              .join(forms_c.select("er_type", "name", "component"),
+                    ["er_type", "name"])
               .select(F.col("component").alias("entity_id"), "alias_text",
                       F.lit("defined_term").alias("source")))
     canon = forms_c.groupBy("component").agg(F.min_by("name", "form_key").alias("c"))
@@ -116,8 +116,8 @@ def aliases_table(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
 
 def mentions_table(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
     return (extractions.filter(F.col("kind").isin("party", "term"))
-            .join(forms_c.select("entity_type", "name", "component"),
-                  ["entity_type", "name"])
+            .join(forms_c.select("er_type", "name", "component"),
+                  ["er_type", "name"])
             .select(F.col("component").alias("entity_id"), "conv_id", "turn_idx",
                     "span_start", "span_end",
                     F.col("name").alias("surface_text")))
@@ -126,7 +126,7 @@ def mentions_table(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
 def lineage_for(df: DataFrame, stage: str, conv_col: str = "conv_id") -> DataFrame:
     """Per-partition row counts + conv range + checksum (north_rule lineage)."""
     cols = df.columns
-    checksum = F.sum(F.xxhash64(*cols)).alias("checksum")
+    checksum = F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum")
     return (df
             .groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.lit(stage).alias("stage"),

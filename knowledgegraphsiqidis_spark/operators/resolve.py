@@ -23,7 +23,7 @@ stored name must *contain* the query's raw or normalized form) so we do not
 merge pairs the reference could never have seen (e.g. "J. Smith" vs
 "John Smith" score 0.8 but share no containment).
 
-Scale design: ER runs over DISTINCT (entity_type, name) surface forms, not
+Scale design: ER runs over DISTINCT (er_type, name) surface forms, not
 mentions — dedup first collapses the 10^12-turn mention stream to the much
 smaller form vocabulary.  Oversized blocks (hot surface-form words) are
 capped at ``max_block`` forms and reported, mirroring the reference's
@@ -48,7 +48,7 @@ def _pair_score(name_a: pd.Series, name_b: pd.Series, etype: pd.Series) -> pd.Se
 
 
 def entity_forms(extractions: DataFrame) -> DataFrame:
-    """Distinct (entity_type, name) surface forms with deterministic form keys.
+    """Distinct (er_type, name) surface forms with deterministic form keys.
 
     form_key = the lexicographically-minimal "conv_id#seq" over the form's
     mentions; it orders forms exactly as the reference's insertion order
@@ -58,50 +58,78 @@ def entity_forms(extractions: DataFrame) -> DataFrame:
          .filter(F.col("kind").isin("party", "term", "doc"))
          .withColumn("mention_key",
                      F.concat_ws("#", "conv_id", F.format_string("%06d", "seq"))))
-    return (m.groupBy("entity_type", "name", "norm_name")
+    return (m.groupBy("er_type", "name", "norm_name")
             .agg(F.min("mention_key").alias("form_key"),
                  F.count("*").alias("n_mentions")))
 
 
+_STOP_BLOCKS = ("and", "the", "of", "for", "to", "in", "on", "by", "or")
+
+
 def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
-    """Blocked self-join → scored candidate match pairs (form_key_a < form_key_b)."""
-    lownorm = F.lower("norm_name")
+    """Blocked self-join → scored candidate match pairs (form_key_a < form_key_b).
+
+    Blocking is type-free — the reference's LIKE candidate search spans all
+    entity types (database.py:204-215) and its scoring uses the *incoming*
+    entity's validated type (extraction_pipeline.py:628-648), so a Person
+    surface form can resolve into an Organization cluster.  Keys are the
+    words of the raw and normalized lowered names (a containment candidate
+    always shares a distinctive word; pure-stopword keys are dropped — any
+    pair they alone would generate cannot pass the containment filter).
+    """
+    lowname, lownorm = F.lower("name"), F.lower("norm_name")
     keyed = (forms
-             .select("entity_type", "name", "norm_name", "form_key",
+             .select("name", "norm_name", "er_type", "form_key",
                      F.explode(F.array_distinct(F.concat(
                          F.array(lownorm),
-                         F.split(lownorm, r"\s+")))).alias("block")))
-    keyed = keyed.filter(F.length("block") > 1)
+                         F.split(lownorm, r"\s+"),
+                         F.split(lowname, r"\s+")))).alias("block")))
+    keyed = keyed.filter((F.length("block") > 1)
+                         & ~F.col("block").isin(*_STOP_BLOCKS))
 
-    # Cap hot blocks: keep the max_block earliest forms per (type, block);
-    # the overflow count is observable via blocked_overflow() for lineage.
-    w = Window.partitionBy("entity_type", "block").orderBy("form_key")
+    # Cap hot blocks: keep the max_block earliest forms per block, mirroring
+    # the reference's LIMIT-10 candidate truncation rather than letting a hot
+    # surface form blow up the self-join.
+    w = Window.partitionBy("block").orderBy("form_key")
     keyed = (keyed.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") <= max_block).drop("_rn"))
 
-    a = keyed.select(F.col("entity_type").alias("etype"),
-                     F.col("name").alias("name_a"),
-                     F.col("norm_name").alias("norm_a"),
+    a = keyed.select(F.col("name").alias("name_a"),
                      F.col("form_key").alias("key_a"), "block")
-    b = keyed.select(F.col("entity_type").alias("etype"),
-                     F.col("name").alias("name_b"),
+    b = keyed.select(F.col("name").alias("name_b"),
                      F.col("norm_name").alias("norm_b"),
+                     F.col("er_type").alias("etype_b"),
                      F.col("form_key").alias("key_b"), "block")
 
     la, lb = F.lower("name_a"), F.lower("name_b")
-    na, nb = F.lower("norm_a"), F.lower("norm_b")
-    pairs = (a.join(b, ["etype", "block"])
+    nb = F.lower("norm_b")
+    pairs = (a.join(b, ["block"])
              .filter(F.col("key_a") < F.col("key_b"))
+             .drop("block")
              .dropDuplicates(["key_a", "key_b"])
-             # reference candidate-generation condition (database.py:204-215)
-             .filter(lb.contains(la) | lb.contains(na)
-                     | la.contains(lb) | la.contains(nb)))
-    return pairs.withColumn("score", _pair_score("name_a", "name_b", "etype"))
+             # Reference candidate generation is direction-sensitive
+             # (database.py:204-215): the STORED (earlier, key_a) name must
+             # contain the incoming (later, key_b) query — raw or normalized
+             # (extraction_pipeline.py:636-643).
+             .filter(la.contains(lb) | la.contains(nb)))
+    return pairs.withColumn("score", _pair_score("name_a", "name_b", "etype_b"))
 
 
 def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                 max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
-    """Accepted match pairs (key_a, key_b) for connected components."""
+    """Accepted match pairs (key_a, key_b) for connected components.
+
+    The reference resolver is an argmax, not a threshold-transitive closure:
+    each incoming entity merges with its single best-scoring existing
+    candidate (find_best_match, extraction_pipeline.py:257-271; strict ``>``
+    comparison → first-stored candidate wins ties).  Replicated here by
+    keeping, per later form (key_b), only the highest-scoring earlier form
+    (ties → smallest key_a).  The result is a functional forest, which the
+    large-star/small-star pass collapses to canonical components.
+    """
+    w = Window.partitionBy("key_b").orderBy(F.desc("score"), F.asc("key_a"))
     return (candidate_pairs(forms, max_block)
             .filter(F.col("score") >= threshold)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
             .select("key_a", "key_b"))

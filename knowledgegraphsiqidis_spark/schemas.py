@@ -25,6 +25,7 @@ EXTRACTIONS = T.StructType([
     T.StructField("kind", T.StringType()),
     T.StructField("name", T.StringType()),
     T.StructField("entity_type", T.StringType()),
+    T.StructField("er_type", T.StringType()),
     T.StructField("norm_name", T.StringType()),
     T.StructField("role", T.StringType()),
     T.StructField("definition", T.StringType()),

@@ -1,0 +1,69 @@
+"""Connected components vs a driver-side union-find oracle on random graphs,
+plus determinism across partition counts (SURVEY.md §5 item 6 precondition).
+"""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphsiqidis_spark.operators.components import connected_components
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,seed", [(30, 25, 1), (200, 180, 2),
+                                                  (500, 900, 3), (50, 0, 4)])
+def test_cc_matches_union_find(spark, n_nodes, n_edges, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:05d}" for i in range(n_nodes)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(n_edges)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    expected = _union_find(edges, nodes)
+    # keep only nodes that participate in an edge (CC contract)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    expected = {n: c for n, c in expected.items() if n in touched}
+
+    if not edges:
+        df = spark.createDataFrame([("x", "x")], "a string, b string").filter("a != a")
+    else:
+        df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_cc_deterministic_across_partitioning(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:05d}" for i in range(300)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+    r1 = sorted(map(tuple, connected_components(
+        spark.createDataFrame(edges, "a string, b string").repartition(2)).collect()))
+    r2 = sorted(map(tuple, connected_components(
+        spark.createDataFrame(edges, "a string, b string").repartition(16)).collect()))
+    assert r1 == r2
