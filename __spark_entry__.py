@@ -1,38 +1,558 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+``entry(spark)`` — flagship: full extract→resolve→build KG pipeline over a
+deterministic synthetic transcript corpus sized from sf0.001, returning the
+(subj, pred, obj) triple table.
 
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data ops).  SQL-expressible operators carry a
+DuckDB oracle; KG-pipeline and hash-function-dependent operators are
+rows-only (documented per entry).
+"""
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline (memoized per sf_dir — several queries share one build)
+# ---------------------------------------------------------------------------
+
+_KG_CACHE: dict = {}
+
+
+def _kg(spark: SparkSession, sf_dir: str):
+    key = sf_dir
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
+    from knowledgegraphsiqidis_spark.plans.pipeline import run_pipeline
+    from knowledgegraphsiqidis_spark.sources.transcripts import transcripts_df
+    n_docs = _t(spark, sf_dir, "documents").count()
+    n_conv = max(20, n_docs // 2)
+    transcripts = transcripts_df(spark, n_conv, seed=42)
+    result = run_pipeline(spark, transcripts)
+    for name in ("extractions", "nodes", "edges"):
+        result.tables[name] = result.tables[name].cache()
+    _KG_CACHE[key] = result
+    return result
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _kg(spark, "/root/testdata/sf0.001").triples()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_p4_name_search(spark, sf):
+    c = _t(spark, sf, "customer")
+    return (c.filter(F.lower("c_name").contains("42"))
+            .select("c_custkey", "c_name"))
+
+
+def _q_j2_edge_denorm(spark, sf):
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+def _q_j3_degree_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("id"))
+            .agg(F.count("*").alias("connections"))
+            .orderBy(F.desc("connections"), F.asc("id"))
+            .limit(10))
+
+
+def _q_j4_induced_subgraph(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    parts = _t(spark, sf, "part").filter(F.col("p_retailprice") > 950) \
+        .select(F.col("p_partkey").alias("l_partkey"))
+    supp = _t(spark, sf, "supplier").filter(F.col("s_acctbal") > 5000) \
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    return (li.join(F.broadcast(parts), "l_partkey", "left_semi")
+            .join(F.broadcast(supp), "l_suppkey", "left_semi")
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("revenue")))
+
+
+def _q_j10_bidirectional_pairs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy(F.least("l_suppkey", "l_partkey").alias("a"),
+                       F.greatest("l_suppkey", "l_partkey").alias("b"))
+            .agg(F.count("*").alias("n_edges"))
+            .filter(F.col("n_edges") > 1))
+
+
+def _q_a1_stats(spark, sf):
+    rows = []
+    for name in ("orders", "lineitem", "customer", "supplier", "part"):
+        rows.append(_t(spark, sf, name).select(
+            F.lit(name).alias("tbl"), F.count(F.lit(1)).alias("n")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _q_a3_degree_diversity(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (o.groupBy(F.col("o_custkey").alias("id"))
+            .agg(F.count("*").alias("out_degree"),
+                 F.countDistinct("o_orderpriority").alias("rel_diversity"),
+                 F.countDistinct("o_orderstatus").alias("status_diversity")))
+
+
+def _q_a5_pattern_histogram(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("src_type"),
+                     F.col("o_orderpriority").alias("relation_type"))
+            .agg(F.count("*").alias("n")))
+
+
+def _q_a6_dedup_argmax(spark, sf):
+    p = _t(spark, sf, "part")
+    mx = (p.groupBy(F.col("p_brand").alias("brand"))
+          .agg(F.max("p_retailprice").alias("max_price")))
+    return (p.join(mx, (p.p_brand == mx.brand)
+                   & (p.p_retailprice == mx.max_price))
+            .groupBy("brand", "max_price")
+            .agg(F.min("p_name").alias("name")))
+
+
+def _q_w2_best_match(spark, sf):
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("latest_order")))
+
+
+def _q_w3_timeline(spark, sf):
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.date_trunc("month", "ts").cast("date").alias("month"),
+                      "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def _q_s4_anti_join_resume(spark, sf):
+    o = _t(spark, sf, "orders")
+    manifest = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    return (o.join(manifest, "o_orderkey", "left_anti")
+            .groupBy("o_orderstatus").agg(F.count("*").alias("n")))
+
+
+def _q_u2_union_dedup(spark, sf):
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).dropDuplicates(["c_custkey"])
+
+
+def _q_u3_orphans(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+                   "c_custkey", "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def _q_p8_json_extract(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.select(k.alias("k_val"))
+            .groupBy("k_val").agg(F.count("*").alias("n")))
+
+
+def _q_f13_hash_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.groupBy("lang")
+            .agg(F.countDistinct(F.sha2("text", 256)).alias("n_distinct_texts"),
+                 F.count("*").alias("n_docs")))
+
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count("*").alias("count_order")))
+
+
+def _q_tpch_q3ish(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy(F.col("o_orderkey").alias("orderkey"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("orderkey"))
+            .limit(10))
+
+
+def _q_f8_date_roundtrip(spark, sf):
+    o = _t(spark, sf, "orders")
+    s = F.date_format("o_orderdate", "MM/dd/yyyy")
+    parsed = F.coalesce(F.to_date(s, "MM/dd/yyyy"), F.to_date(s, "yyyy-MM-dd"))
+    return (o.select(F.year(parsed).alias("yr"))
+            .groupBy("yr").agg(F.count("*").alias("n")))
+
+
+def _q_f2_doc_classify(spark, sf):
+    d = _t(spark, sf, "documents")
+    head = F.lower(F.substring("text", 1, 200))
+    cls = (F.when(head.contains("spark"), "spark")
+           .when(head.contains("join"), "join")
+           .when(head.contains("table"), "table")
+           .otherwise("other"))
+    return d.select(cls.alias("doc_class")).groupBy("doc_class") \
+        .agg(F.count("*").alias("n"))
+
+
+# --- training-data ops -----------------------------------------------------
+
+def _q_dedup_exact_groups(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")))
+
+
+def _q_token_stats(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.textanalysis import token_stats
+    d = _t(spark, sf, "documents")
+    return (token_stats(d)
+            .select("doc_id", "n_tokens", "n_chars",
+                    F.round("avg_token_len", 4).alias("avg_token_len")))
+
+
+def _q_quality_score(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.textanalysis import quality_score
+    return quality_score(_t(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.textanalysis import language_id
+    return language_id(_t(spark, sf, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_ann_cosine_topk(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.similarity import cosine_topk
+    e = _t(spark, sf, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return cosine_topk(e, q, k=5)
+
+
+def _q_multimodal_meta(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.multimodal import (
+        extract_features, synth_media)
+    d = _t(spark, sf, "documents")
+    media = synth_media(spark, d)
+    return (extract_features(media)
+            .select("media_id", "kind", "n_bytes", "content_hash"))
+
+
+# --- KG pipeline queries (rows-only: regex extraction + ER are not ANSI SQL) -
+
+def _q_kg_triples(spark, sf):
+    return _kg(spark, sf).triples()
+
+
+def _q_kg_nodes_by_type(spark, sf):
+    nodes = _kg(spark, sf).tables["nodes"]
+    return nodes.groupBy("type").agg(F.count("*").alias("n"))
+
+
+def _q_kg_degree_topk(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import top_connected
+    r = _kg(spark, sf)
+    return top_connected(r.tables["nodes"], r.tables["edges"], k=10)
+
+
+def _q_kg_pagerank(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import pagerank
+    r = _kg(spark, sf)
+    pr = pagerank(r.tables["nodes"], r.tables["edges"], iterations=10)
+    return (pr.join(r.tables["nodes"], "id")
+            .select("canonical_name", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("canonical_name")).limit(10))
+
+
+def _q_kg_clusters(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import clusters
+    r = _kg(spark, sf)
+    cl = clusters(r.tables["nodes"], r.tables["edges"])
+    return (cl.groupBy("cluster").agg(F.count("*").alias("size"))
+            .groupBy("size").agg(F.count("*").alias("n_clusters")))
+
+
+def _q_kg_relation_patterns(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import relation_patterns
+    r = _kg(spark, sf)
+    return relation_patterns(r.tables["nodes"], r.tables["edges"])
+
+
+def _q_kg_timeline(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import timeline
+    r = _kg(spark, sf)
+    return (timeline(r.tables["extractions"])
+            .groupBy(F.year("date").alias("yr"), "date_type")
+            .agg(F.count("*").alias("n")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "p4_name_search": _q_p4_name_search,
+        "j2_edge_denorm": _q_j2_edge_denorm,
+        "j3_degree_topk": _q_j3_degree_topk,
+        "j4_induced_subgraph": _q_j4_induced_subgraph,
+        "j10_bidirectional_pairs": _q_j10_bidirectional_pairs,
+        "a1_stats": _q_a1_stats,
+        "a3_degree_diversity": _q_a3_degree_diversity,
+        "a5_pattern_histogram": _q_a5_pattern_histogram,
+        "a6_dedup_argmax": _q_a6_dedup_argmax,
+        "w2_best_match": _q_w2_best_match,
+        "w3_timeline": _q_w3_timeline,
+        "s4_anti_join_resume": _q_s4_anti_join_resume,
+        "u2_union_dedup": _q_u2_union_dedup,
+        "u3_orphans": _q_u3_orphans,
+        "p8_json_extract": _q_p8_json_extract,
+        "f13_hash_dedup": _q_f13_hash_dedup,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3ish": _q_tpch_q3ish,
+        "f8_date_roundtrip": _q_f8_date_roundtrip,
+        "f2_doc_classify": _q_f2_doc_classify,
+        "dedup_exact_groups": _q_dedup_exact_groups,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "multimodal_meta": _q_multimodal_meta,
+        "kg_triples": _q_kg_triples,
+        "kg_nodes_by_type": _q_kg_nodes_by_type,
+        "kg_degree_topk": _q_kg_degree_topk,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_clusters": _q_kg_clusters,
+        "kg_relation_patterns": _q_kg_relation_patterns,
+        "kg_timeline": _q_kg_timeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"]
+_LANG_WORDS = {
+    "en": _STOPWORDS_EN,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    toks = "string_split_regex(lower(text), '\\s+')"
+    hits = " + ".join(
+        f"(CASE WHEN list_contains({toks}, '{w}') THEN 1 ELSE 0 END)"
+        for w in _LANG_WORDS[lang])
+    return f"({hits})"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    langs = list(_LANG_WORDS)
+    lang_scores = ", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in langs)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    lang_case = ("CASE WHEN " + best + " <= 0 THEN 'und' "
+                 + " ".join(f"WHEN s_{l} = {best} THEN '{l}'" for l in langs)
+                 + " END")
+    en_hits = _lang_score_sql("en")
+
+    return {
+        "p4_name_search":
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE lower(c_name) LIKE '%42%'",
+        "j2_edge_denorm":
+            "SELECT n.n_name AS nation, count(*) AS n_orders, "
+            "round(sum(o.o_totalprice), 2) AS total_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+        "j3_degree_topk":
+            "SELECT o_custkey AS id, count(*) AS connections FROM orders "
+            "GROUP BY o_custkey ORDER BY connections DESC, id LIMIT 10",
+        "j4_induced_subgraph":
+            "SELECT l_returnflag, count(*) AS n, "
+            "round(sum(l_extendedprice), 2) AS revenue FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice > 950) "
+            "AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000) "
+            "GROUP BY l_returnflag",
+        "j10_bidirectional_pairs":
+            "SELECT least(l_suppkey, l_partkey) AS a, "
+            "greatest(l_suppkey, l_partkey) AS b, count(*) AS n_edges "
+            "FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1",
+        "a1_stats":
+            "SELECT 'orders' AS tbl, count(*) AS n FROM orders UNION ALL "
+            "SELECT 'lineitem', count(*) FROM lineitem UNION ALL "
+            "SELECT 'customer', count(*) FROM customer UNION ALL "
+            "SELECT 'supplier', count(*) FROM supplier UNION ALL "
+            "SELECT 'part', count(*) FROM part",
+        "a3_degree_diversity":
+            "SELECT o_custkey AS id, count(*) AS out_degree, "
+            "count(DISTINCT o_orderpriority) AS rel_diversity, "
+            "count(DISTINCT o_orderstatus) AS status_diversity "
+            "FROM orders GROUP BY o_custkey",
+        "a5_pattern_histogram":
+            "SELECT c_mktsegment AS src_type, o_orderpriority AS relation_type, "
+            "count(*) AS n FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey GROUP BY 1, 2",
+        "a6_dedup_argmax":
+            "WITH mx AS (SELECT p_brand, max(p_retailprice) AS max_price "
+            "FROM part GROUP BY p_brand) "
+            "SELECT mx.p_brand AS brand, mx.max_price, min(p.p_name) AS name "
+            "FROM part p JOIN mx ON p.p_brand = mx.p_brand "
+            "AND p.p_retailprice = mx.max_price GROUP BY 1, 2",
+        "w2_best_match":
+            "SELECT o_custkey AS custkey, o_orderkey AS latest_order FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC"
+            ") AS rn FROM orders) WHERE rn = 1",
+        "w3_timeline":
+            "SELECT date_trunc('month', ts) AS month, event_type, "
+            "count(*) AS n, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY 1, 2",
+        "s4_anti_join_resume":
+            "SELECT o_orderstatus, count(*) AS n FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders m "
+            "WHERE m.o_orderkey % 2 = 0 AND m.o_orderkey = o.o_orderkey) "
+            "GROUP BY o_orderstatus",
+        "u2_union_dedup":
+            "SELECT DISTINCT c_custkey FROM ("
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000)",
+        "u3_orphans":
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+        "p8_json_extract":
+            "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val, "
+            "count(*) AS n FROM events GROUP BY 1",
+        "f13_hash_dedup":
+            "SELECT lang, count(DISTINCT sha256(text)) AS n_distinct_texts, "
+            "count(*) AS n_docs FROM documents GROUP BY lang",
+        "tpch_q1":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus",
+        "tpch_q3ish":
+            "SELECT o_orderkey AS orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' GROUP BY o_orderkey "
+            "ORDER BY revenue DESC, orderkey LIMIT 10",
+        "f8_date_roundtrip":
+            "SELECT year(strptime(strftime(o_orderdate, '%m/%d/%Y'), "
+            "'%m/%d/%Y')) AS yr, count(*) AS n FROM orders GROUP BY 1",
+        "f2_doc_classify":
+            "SELECT CASE "
+            "WHEN lower(substring(text, 1, 200)) LIKE '%spark%' THEN 'spark' "
+            "WHEN lower(substring(text, 1, 200)) LIKE '%join%' THEN 'join' "
+            "WHEN lower(substring(text, 1, 200)) LIKE '%table%' THEN 'table' "
+            "ELSE 'other' END AS doc_class, count(*) AS n "
+            "FROM documents GROUP BY 1",
+        "dedup_exact_groups":
+            "SELECT sha256(text) AS text_hash, count(*) AS n_docs, "
+            "min(doc_id) AS min_doc_id FROM documents GROUP BY 1",
+        "token_stats":
+            "SELECT doc_id, "
+            "len(string_split_regex(text, '\\s+')) AS n_tokens, "
+            "length(text) AS n_chars, "
+            "round(length(text) / len(string_split_regex(text, '\\s+')), 4) "
+            "AS avg_token_len FROM documents",
+        "quality_score":
+            "SELECT doc_id, round("
+            "0.4 * (CASE WHEN length(text) BETWEEN 50 AND 100000 "
+            "THEN 1.0 ELSE 0.3 END) "
+            "+ 0.4 * (length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) "
+            "/ greatest(length(text), 1)) "
+            f"+ 0.2 * least({en_hits} / 5.0, 1.0), 4) AS quality "
+            "FROM documents",
+        "lang_id":
+            f"SELECT doc_id, {lang_case} AS pred_lang FROM "
+            f"(SELECT doc_id, {lang_scores} FROM documents)",
+        "ngram_jaccard":
+            "WITH t AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS toks FROM documents), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(toks[i + 1:i + 3], ' ') AS shingle "
+            "FROM t, UNNEST(range(len(toks) - 2)) AS u(i) WHERE len(toks) >= 3), "
+            "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(inter / (sa.sz + sb.sz - inter), 4) "
+            "AS jaccard FROM inter "
+            "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b "
+            "WHERE inter / (sa.sz + sb.sz - inter) >= 0.2",
+        "ann_cosine_topk":
+            "WITH q AS (SELECT vec_id AS query_id, "
+            "embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) "
+            "* sqrt(list_dot_product(q.qv, q.qv))) AS cosine "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id) "
+            "SELECT query_id, vec_id, rank, round(cosine, 4) AS cosine FROM ("
+            "SELECT query_id, vec_id, cosine, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 5",
+        "multimodal_meta":
+            "SELECT 'm-' || doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash "
+            "FROM documents",
+        # kg_* queries: regex extraction, pairwise similarity scoring and
+        # iterative connected components / PageRank are not expressible in
+        # ANSI SQL — rows-only checks (documented in SURVEY.md §5 item 4).
+    }

@@ -1,0 +1,182 @@
+"""Graph analytics over the materialized nodes/edges tables.
+
+DataFrame re-expressions of the reference's in-process Python analytics:
+
+  degree / top-k ............ graph_exporter.py:69-86, 275-288 (A2/W1)
+  in/out degree + diversity .. server.py:1126-1137 (A3)
+  relation pattern histogram . server.py:1602-1618 (A5)
+  bidirectional pairs ........ server.py:1620-1635 (J10)
+  induced subgraph ........... graph_exporter.py:109-116 (J4)
+  n-hop neighborhood ......... database.py:340-365 (G7)
+  shortest path (BFS) ........ nl_query.py:947-991 (G8)
+  PageRank ................... graph_inference.py:71-209 (G11) — the
+      reference's O(V²)-per-iteration API variant (server.py:1032-1054) is
+      deliberately NOT ported; this is the standard out-degree-normalized
+      contribution join, O(E) per iteration
+  connected clusters ......... server.py:1982-2022 (G13)
+  graph stats ................ database.py:628-657 (A1)
+
+Iterative algorithms are driver-loops over DataFrame joins with
+localCheckpoint per iteration — no RDDs, no collect of graph data.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .components import connected_components
+
+
+def degree(edges: DataFrame) -> DataFrame:
+    """Connection count per entity (UNION ALL of endpoints, then count)."""
+    ends = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id")))
+    return ends.groupBy("id").agg(F.count("*").alias("connections"))
+
+
+def top_connected(nodes: DataFrame, edges: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k nodes by connection count (TakeOrderedAndProject plan)."""
+    return (nodes.join(degree(edges), "id", "left")
+            .fillna(0, subset=["connections"])
+            .orderBy(F.desc("connections"), F.asc("canonical_name"))
+            .select("canonical_name", "type", "connections")
+            .limit(k))
+
+
+def degree_diversity(edges: DataFrame) -> DataFrame:
+    """Out/in degree + relation-type diversity per node (A3)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree"),
+        F.countDistinct("relation_type").alias("out_rel_types"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree"),
+        F.countDistinct("relation_type").alias("in_rel_types"))
+    return (out_d.join(in_d, "id", "full")
+            .fillna(0))
+
+
+def relation_patterns(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(src_type)-[rel]->(dst_type) histogram (A5)."""
+    s = nodes.select(F.col("id").alias("src"), F.col("type").alias("src_type"))
+    t = nodes.select(F.col("id").alias("dst"), F.col("type").alias("dst_type"))
+    return (edges.join(F.broadcast(s), "src").join(F.broadcast(t), "dst")
+            .groupBy("src_type", "relation_type", "dst_type")
+            .agg(F.count("*").alias("n")))
+
+
+def bidirectional_pairs(edges: DataFrame) -> DataFrame:
+    """Unordered endpoint pairs connected by >1 edge (J10)."""
+    return (edges
+            .groupBy(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+            .agg(F.count("*").alias("n_edges"))
+            .filter(F.col("n_edges") > 1))
+
+
+def induced_subgraph(edges: DataFrame, selected_nodes: DataFrame) -> DataFrame:
+    """Edges whose both endpoints are in the selected set (J4 semi-joins)."""
+    sel = F.broadcast(selected_nodes.select(F.col("id")))
+    return (edges
+            .join(sel.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(sel.withColumnRenamed("id", "dst"), "dst", "left_semi"))
+
+
+def n_hop_neighborhood(edges: DataFrame, start_ids: DataFrame, hops: int = 2,
+                       undirected: bool = True) -> DataFrame:
+    """Iterative frontier expansion (G7); returns (id, hop) with min hop."""
+    sym = edges.select("src", "dst")
+    if undirected:
+        sym = sym.unionAll(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    visited = start_ids.select(F.col("id"), F.lit(0).alias("hop")).localCheckpoint()
+    frontier = visited
+    for h in range(1, hops + 1):
+        nxt = (frontier.join(sym, frontier.id == sym.src)
+               .select(F.col("dst").alias("id"))
+               .distinct()
+               .join(visited.select("id"), "id", "left_anti")
+               .withColumn("hop", F.lit(h))
+               .localCheckpoint())
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def shortest_path_length(edges: DataFrame, src_id: str, dst_id: str,
+                         max_hops: int = 6) -> int | None:
+    """Undirected BFS distance (G8); None if not reached within max_hops."""
+    spark = edges.sparkSession
+    start = spark.createDataFrame([(src_id,)], "id string")
+    visited = n_hop_neighborhood(edges, start, hops=max_hops)
+    row = visited.filter(F.col("id") == dst_id).select(F.min("hop")).collect()[0]
+    return row[0]
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
+             iterations: int = 15) -> DataFrame:
+    """Standard power-iteration PageRank as DataFrame joins (G11).
+
+    Dangling-node mass is redistributed uniformly each iteration so ranks
+    sum to N, matching the usual formulation (the reference normalizes by
+    count, graph_inference.py:147-160).
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(F.col("id"), F.lit(0.0).alias("rank"))
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = edges.select("src", "dst").join(out_deg, "src")
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (links.join(ranks, links.src == ranks.id)
+                    .select(F.col("dst").alias("id"),
+                            (F.col("rank") / F.col("out_deg")).alias("c"))
+                    .groupBy("id").agg(F.sum("c").alias("contrib")))
+        dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (ranks.select("id")
+                 .join(contribs, "id", "left")
+                 .select("id",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+def clusters(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Undirected connected clusters of the entity graph (G13) via the same
+    large-star/small-star kernel used for ER canonicalization."""
+    comp = connected_components(edges.select("src", "dst"))
+    return (nodes.join(comp, nodes.id == comp.node, "left")
+            .withColumn("cluster", F.coalesce("component", "id"))
+            .select("id", "canonical_name", "type", "cluster"))
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Entity counts by type + edge counts by relation (A1), long format."""
+    by_type = nodes.groupBy(F.col("type").alias("key")).agg(
+        F.count("*").alias("n")).withColumn("metric", F.lit("entities_by_type"))
+    by_rel = edges.groupBy(F.col("relation_type").alias("key")).agg(
+        F.count("*").alias("n")).withColumn("metric", F.lit("edges_by_relation"))
+    return by_type.unionByName(by_rel).select("metric", "key", "n")
+
+
+def timeline(extractions: DataFrame) -> DataFrame:
+    """Date mentions parsed to real dates, classified, ordered (G19/F8/W3).
+
+    Multi-format parse = coalesce over to_date patterns, the Spark shape of
+    the reference's strptime cascade (nl_query.py:1450-1476).
+    """
+    d = extractions.filter(F.col("kind") == "date")
+    cleaned = F.regexp_replace(
+        F.regexp_replace("name", r"(\d+)(st|nd|rd|th)\s+day\s+of\s+", "$1 "),
+        r",", "")
+    parsed = F.coalesce(
+        F.try_to_timestamp(cleaned, F.lit("MMMM d yyyy")),
+        F.try_to_timestamp(cleaned, F.lit("M/d/yyyy")),
+        F.try_to_timestamp(cleaned, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(cleaned, F.lit("d MMMM yyyy")))
+    return (d.select("conv_id", F.col("name").alias("date_text"),
+                     F.col("date_type"), parsed.cast("date").alias("date"))
+            .orderBy(F.col("date").asc_nulls_last()))

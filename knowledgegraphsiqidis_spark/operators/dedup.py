@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operate on a documents DataFrame ``(doc_id, text, ...)`` and are
+designed so the heavy stages stay JVM-side:
+
+  exact ............ sha2 hash groupBy (no text shuffle — hash first)
+  ngram Jaccard .... shingle explode → inverted-index self-join → group count
+  MinHash + LSH .... shingle hashes → k permutation minima (all with
+                     built-in xxhash64 arithmetic, no UDF) → band buckets →
+                     bucket equi-join → verified Jaccard
+  SimHash .......... per-token hash sign aggregation → 64-bit fingerprint →
+                     hamming-band join
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id)."""
+    return (docs
+            .select(F.sha2(F.col(text_col), 256).alias("text_hash"), id_col)
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup pass keeping the smallest id per identical text."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT).alias("t"))
+    if n == 1:
+        sh = toks.select("id", F.explode("t").alias("shingle"))
+    else:
+        # zip the token array against its own n-1 shifted copies
+        expr = F.transform(
+            F.sequence(F.lit(0), F.size("t") - n),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
+        sh = toks.filter(F.size("t") >= n).select(
+            "id", F.explode(expr).alias("shingle"))
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard (inverted-index join).
+
+    The shingle explode + equi-join is the classic set-similarity join; the
+    per-doc shingle counts come from one aggregation and the intersection
+    from the join's group count, so Jaccard = inter / (|a| + |b| - inter)
+    without materializing shingle sets per pair.
+    """
+    sh = _shingles(docs, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle_n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures: (id, sig array<long>), all JVM-side arithmetic.
+
+    Permutation i is simulated as xxhash64(shingle, seed=i); the signature
+    element is the minimum over the doc's shingles — one groupBy with
+    min(aggregate) per seed, vectorized by whole-stage codegen.
+    """
+    sh = _shingles(docs, text_col, id_col, shingle_n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)])
+                      .alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified by signature overlap.
+
+    rows-per-band = num_hashes/bands; docs sharing any full band collide.
+    Estimated Jaccard = fraction of matching signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col).cache()
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.col("sig")[bi * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)])).alias("bucket"))
+            for bi in range(bands)])).alias("bb")) \
+        .select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                      "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                      "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    overlap = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (cand
+            .withColumn("est_jaccard", overlap / F.lit(float(num_hashes)))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per doc, pure column arithmetic.
+
+    Token hash bits vote +1/-1 per position; fingerprint bit = sign of sum.
+    """
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.split(F.lower(F.col(text_col)),
+                                         _TOKEN_SPLIT)).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"b{i}")
+             for i in range(64)]
+    agg = h.groupBy("id").agg(*votes)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4×16-bit bands."""
+    fp = simhash(docs, text_col, id_col).cache()
+    banded = fp.select("id", "simhash", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("bucket")) for i in range(4)])).alias("bb")) \
+        .select("id", "simhash", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"),
+                      "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
+                      "band", "bucket")
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -57,9 +57,14 @@ class KGPipeline:
 
     def _checkpoint(self, df: DataFrame, stage: str,
                     conv_col: str | None = "conv_id") -> DataFrame:
-        """Write stage table once, then read it back (resume point)."""
+        """Write stage table once, then read it back (resume point).
+
+        Without an out_dir the stage is pinned with cache() instead — every
+        stage output has multiple consumers, and recomputing the extraction
+        UDF per consumer would dominate runtime.
+        """
         if self.out_dir is None:
-            return df
+            return df.cache()
         path = self._path(stage)
         if not _done(path):
             df.write.mode("overwrite").parquet(path)
