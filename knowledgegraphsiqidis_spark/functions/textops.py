@@ -44,7 +44,10 @@ _CONTRACT_ROLES = ("Buyer", "Seller", "Lessor", "Lessee", "Licensor", "Licensee"
                    "Contractor", "Client")
 
 # (compiled_pattern, role) in the reference's declaration order: litigation
-# captions first, then contract defined-role forms.
+# captions first, then contract defined-role forms.  Each pattern can only
+# match where the literal role word occurs, so extract_parties prefilters on
+# the lowered role string before paying the (backtracking-heavy) regex —
+# a pure optimization with identical output.
 PARTY_PATTERNS: List[Tuple[re.Pattern, str]] = (
     [(re.compile(rf'{_ORG_NAME}\s*,\s*{r}\b', re.IGNORECASE), r.lower())
      for r in _LITIGATION_ROLES]
@@ -157,10 +160,13 @@ def extract_parties(text: str) -> List[Dict[str, Any]]:
     sets — the reference materializes them through ``list(set(...))``).
     """
     region = find_party_section(text) or text[:3000]
+    region_lower = region.lower()
     out: List[Dict[str, Any]] = []
     seen: set = set()
 
     for pat, role in PARTY_PATTERNS:
+        if role not in region_lower:
+            continue
         for m in pat.finditer(region):
             name = _WS.sub(' ', m.group(1).strip()).strip(' ,.')
             low = name.lower()

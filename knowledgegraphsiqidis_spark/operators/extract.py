@@ -91,12 +91,39 @@ def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
         {c: pd.Series(dtype=object) for c in _COLS})
 
 
-def extract_stage(transcripts: DataFrame) -> DataFrame:
-    """transcripts → long-format extraction records (one shuffle on conv_id)."""
+def extract_stage(transcripts: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """transcripts → long-format extraction records (one shuffle on conv_id).
+
+    Physical design, deliberately NOT ``groupBy.applyInPandas``:
+
+    * ``repartition(N, conv_id)`` — explicit and sized by cores, not left to
+      AQE: the extraction kernel is compute-bound (~10 ms/conversation) on
+      ~150 B/turn input, so AQE's size-based coalescing would collapse the
+      shuffle to one task and serialize the stage.  Hash partitioning on
+      conv_id guarantees every conversation lands whole in one partition.
+    * ``mapInPandas`` over whole partitions — applyInPandas pays per-GROUP
+      Arrow/pandas overhead (~ms per conversation, dominating the kernel at
+      ~16 turns/group); mapInPandas amortizes it per PARTITION.  The kernel
+      groups and turn-orders conversations internally, so batch fragmentation
+      inside a partition is repaired with one concat.  Memory bound = one
+      partition of turns in pandas, controlled by N.
+    """
+    if n_partitions is None:
+        sc = transcripts.sparkSession.sparkContext
+        n_partitions = sc.defaultParallelism * 4
+
+    def run_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        if len(pdf):
+            yield extract_conversation(pdf)
+
     return (transcripts
             .select("conv_id", "turn_idx", "text")
-            .groupBy("conv_id")
-            .applyInPandas(extract_conversation, schema=EXTRACTIONS))
+            .repartition(n_partitions, "conv_id")
+            .mapInPandas(run_partition, schema=EXTRACTIONS))
 
 
 def mentions_from_extractions(extractions: DataFrame) -> DataFrame:

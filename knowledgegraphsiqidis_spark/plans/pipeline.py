@@ -59,12 +59,14 @@ class KGPipeline:
                     conv_col: str | None = "conv_id") -> DataFrame:
         """Write stage table once, then read it back (resume point).
 
-        Without an out_dir the stage is pinned with cache() instead — every
-        stage output has multiple consumers, and recomputing the extraction
-        UDF per consumer would dominate runtime.
+        Without an out_dir the stage is pinned with an eager
+        localCheckpoint() — every stage output has multiple consumers, and
+        empirically cache() leaves some downstream plans recomputing the
+        extraction UDF (cache-lookup misses on re-aliased scans), while the
+        checkpoint cuts the plan outright.
         """
         if self.out_dir is None:
-            return df.cache()
+            return df.localCheckpoint()
         path = self._path(stage)
         if not _done(path):
             df.write.mode("overwrite").parquet(path)
