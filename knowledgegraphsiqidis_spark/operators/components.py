@@ -14,6 +14,10 @@ plans otherwise grow exponentially under Catalyst).
 """
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 from pyspark.sql import DataFrame, functions as F
 
 MAX_ITERATIONS = 50
@@ -70,9 +74,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = MAX_ITERATIONS)
         return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
 
     prev_sig = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
+        t0 = time.time()
         edges = _small_star(_large_star(edges)).localCheckpoint()
         sig = _signature(edges)
+        if os.environ.get("KG_TIMING"):
+            print(f"[kg-timing] cc round {i}: {time.time() - t0:.1f}s "
+                  f"edges={sig[0]}", file=sys.stderr, flush=True)
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -26,13 +26,17 @@ def canonical_map(extractions: DataFrame,
     forms_with_component: er_type, name, norm_name, form_key, component
     nodes: component (= entity id), type, canonical_name, confidence, status
     """
-    forms = entity_forms(extractions).cache()
+    forms = entity_forms(extractions).localCheckpoint()
     matches = match_edges(forms, threshold=threshold, max_block=max_block)
     comp = connected_components(matches)
 
+    # Pin before fan-out: nodes/aliases/mentions/edge-relabel all derive from
+    # forms_c — without the checkpoint each consumer would re-run the pair
+    # scoring UDF and the whole CC iteration.
     forms_c = (forms.join(comp, forms.form_key == comp.node, "left")
                .withColumn("component", F.coalesce("component", "form_key"))
-               .drop("node"))
+               .drop("node")
+               .localCheckpoint())
 
     # Representative form = min form_key per component → canonical name/type.
     reps = (forms_c
@@ -47,19 +51,29 @@ def canonical_map(extractions: DataFrame,
     return forms_c, nodes
 
 
-def mention_component_map(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
+def mention_component_map(extractions: DataFrame, forms_c: DataFrame,
+                          needed_names: DataFrame | None = None) -> DataFrame:
     """(conv_id, lower(name)) → component, for relabeling conv-scoped triples.
 
     When a party and a term share a name within one conversation the
     reference's ``entity_map`` keeps the later insertion
     (extraction_pipeline.py:621-731 dict overwrite) — replicated with
     max_by(seq).
+
+    ``needed_names`` (a DataFrame with one ``name_l`` column, e.g. the
+    distinct triple endpoint names) is broadcast as a semi-join pre-filter:
+    triples reference only a few distinct names, so the groupBy over the full
+    mention stream would otherwise shuffle mostly-unused rows.
     """
     m = (extractions.filter(F.col("kind").isin("party", "term", "doc"))
-         .select("conv_id", "seq", "name", "er_type"))
+         .select("conv_id", "seq", "name", "er_type",
+                 F.lower("name").alias("name_l")))
+    if needed_names is not None:
+        m = m.join(F.broadcast(needed_names.select("name_l").distinct()),
+                   "name_l", "left_semi")
     m = m.join(forms_c.select("er_type", "name", "component"),
                ["er_type", "name"])
-    return (m.groupBy("conv_id", F.lower("name").alias("name_l"))
+    return (m.groupBy("conv_id", "name_l")
             .agg(F.max_by("component", "seq").alias("component")))
 
 

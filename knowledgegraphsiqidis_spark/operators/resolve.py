@@ -115,6 +115,22 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> Dat
     return pairs.withColumn("score", _pair_score("name_a", "name_b", "etype_b"))
 
 
+def blocked_overflow(forms: DataFrame,
+                     max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
+    """Blocks larger than the cap, with how many forms were dropped from the
+    candidate self-join — no silent truncation: callers append this to the
+    lineage/metrics table so oversize hot surface forms are visible.
+    """
+    lowname, lownorm = F.lower("name"), F.lower("norm_name")
+    keyed = (forms.select(F.explode(F.array_distinct(F.concat(
+        F.array(lownorm), F.split(lownorm, r"\s+"), F.split(lowname, r"\s+")
+    ))).alias("block"))
+        .filter((F.length("block") > 1) & ~F.col("block").isin(*_STOP_BLOCKS)))
+    return (keyed.groupBy("block").agg(F.count("*").alias("n_forms"))
+            .filter(F.col("n_forms") > max_block)
+            .withColumn("n_dropped", F.col("n_forms") - max_block))
+
+
 def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                 max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
     """Accepted match pairs (key_a, key_b) for connected components.

@@ -14,6 +14,8 @@ appended to ``<out>/lineage``.
 from __future__ import annotations
 
 import os
+import sys
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,9 +57,10 @@ class KGPipeline:
     def _path(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
 
-    def _checkpoint(self, df: DataFrame, stage: str,
+    def _checkpoint(self, build, stage: str,
                     conv_col: str | None = "conv_id") -> DataFrame:
-        """Write stage table once, then read it back (resume point).
+        """Materialize a stage once; resume loads the table without even
+        building the stage plan (``build`` is a thunk).
 
         Without an out_dir the stage is pinned with an eager
         localCheckpoint() — every stage output has multiple consumers, and
@@ -65,46 +68,78 @@ class KGPipeline:
         extraction UDF (cache-lookup misses on re-aliased scans), while the
         checkpoint cuts the plan outright.
         """
+        if callable(build):
+            df = None
+        else:
+            df, build = build, lambda: df  # accept a plain DataFrame too
         if self.out_dir is None:
-            return df.localCheckpoint()
+            t0 = time.time()
+            out = build().localCheckpoint()
+            if os.environ.get("KG_TIMING"):
+                print(f"[kg-timing] {stage}: {time.time() - t0:.1f}s",
+                      file=sys.stderr, flush=True)
+            return out
         path = self._path(stage)
         if not _done(path):
-            df.write.mode("overwrite").parquet(path)
-            if self.lineage and conv_col and conv_col in df.columns:
-                out = self.spark.read.parquet(path)
-                (materialize.lineage_for(out, stage, conv_col)
+            out = build()
+            out.write.mode("overwrite").parquet(path)
+            if self.lineage and conv_col and conv_col in out.columns:
+                persisted = self.spark.read.parquet(path)
+                (materialize.lineage_for(persisted, stage, conv_col)
                  .write.mode("append").parquet(os.path.join(self.out_dir, "lineage")))
         return self.spark.read.parquet(path)
 
-    def run(self, transcripts: DataFrame) -> PipelineResult:
+    def run(self, transcripts: DataFrame,
+            side_tables: bool = True) -> PipelineResult:
+        """side_tables=False skips aliases/mentions (not needed for the
+        triple output path; they are derived views over checkpointed stages
+        and can be produced later from the same checkpoints)."""
         r = PipelineResult()
 
-        ext = self._checkpoint(extract.extract_stage(transcripts), "extractions")
+        ext = self._checkpoint(lambda: extract.extract_stage(transcripts),
+                               "extractions")
+        # The extraction UDF ran wide (4 partitions/core) for compute balance;
+        # its OUTPUT is small (a few hundred bytes per extraction record), so
+        # narrow the partition count back to the core count before fan-out —
+        # every downstream stage otherwise schedules 4x the tasks for no work.
+        ext = ext.coalesce(self.spark.sparkContext.defaultParallelism)
         r.tables["extractions"] = ext
 
+        # raw_triples feeds the edge relabel join AND the needed-names
+        # broadcast filter, so it is pinned (tiny table, two consumers).
         raw = self._checkpoint(infer.infer_stage(ext), "raw_triples")
         r.tables["raw_triples"] = raw
 
-        forms_c, nodes = materialize.canonical_map(
-            ext, threshold=self.threshold, max_block=self.max_block)
-        forms_c = self._checkpoint(forms_c, "forms", conv_col=None)
-        nodes = self._checkpoint(nodes, "nodes", conv_col=None)
+        if (self.out_dir is not None and _done(self._path("forms"))
+                and _done(self._path("nodes"))):
+            forms_c = self.spark.read.parquet(self._path("forms"))
+            nodes = self.spark.read.parquet(self._path("nodes"))
+        else:
+            forms_c, nodes = materialize.canonical_map(
+                ext, threshold=self.threshold, max_block=self.max_block)
+            forms_c = self._checkpoint(forms_c, "forms", conv_col=None)
+            nodes = self._checkpoint(nodes, "nodes", conv_col=None)
         r.tables["forms"] = forms_c
         r.tables["nodes"] = nodes
 
-        mention_map = materialize.mention_component_map(ext, forms_c)
+        needed = raw.select(F.lower("subj").alias("name_l")).unionAll(
+            raw.select(F.lower("obj").alias("name_l")))
+        mention_map = materialize.mention_component_map(ext, forms_c, needed)
         edges = self._checkpoint(
             materialize.materialize_edges(raw, mention_map), "edges",
             conv_col="provenance_doc_id")
         r.tables["edges"] = edges
 
-        r.tables["aliases"] = self._checkpoint(
-            materialize.aliases_table(ext, forms_c), "aliases", conv_col=None)
-        r.tables["mentions"] = self._checkpoint(
-            materialize.mentions_table(ext, forms_c), "mentions")
+        if side_tables:
+            r.tables["aliases"] = self._checkpoint(
+                materialize.aliases_table(ext, forms_c), "aliases", conv_col=None)
+            r.tables["mentions"] = self._checkpoint(
+                materialize.mentions_table(ext, forms_c), "mentions")
         return r
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
-                 out_dir: str | None = None, **kw) -> PipelineResult:
-    return KGPipeline(spark, out_dir=out_dir, **kw).run(transcripts)
+                 out_dir: str | None = None, side_tables: bool = True,
+                 **kw) -> PipelineResult:
+    return KGPipeline(spark, out_dir=out_dir, **kw).run(
+        transcripts, side_tables=side_tables)

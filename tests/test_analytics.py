@@ -1,0 +1,94 @@
+"""Graph-analytics operators on a small constructed graph with hand-computed
+ground truth (degree, top-k, patterns, n-hop, shortest path, PageRank,
+clusters, bidirectional pairs, induced subgraph).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphsiqidis_spark.operators import analytics
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame(
+        [("a", "Person", "Alice"), ("b", "Person", "Bob"),
+         ("c", "Organization", "Corp"), ("d", "Organization", "Dorg"),
+         ("e", "Person", "Eve"), ("f", "Person", "Frank")],
+        "id string, type string, canonical_name string")
+    edges = spark.createDataFrame(
+        [("a", "b", "knows"), ("b", "a", "knows"), ("a", "c", "employed_by"),
+         ("b", "c", "employed_by"), ("c", "d", "affiliated_with"),
+         ("e", "f", "knows")],
+        "src string, dst string, relation_type string")
+    return nodes, edges
+
+
+def test_degree_and_topk(spark, graph):
+    nodes, edges = graph
+    deg = {r["id"]: r["connections"] for r in analytics.degree(edges).collect()}
+    assert deg == {"a": 3, "b": 3, "c": 3, "d": 1, "e": 1, "f": 1}
+    top = analytics.top_connected(nodes, edges, k=3).collect()
+    assert [r["canonical_name"] for r in top] == ["Alice", "Bob", "Corp"]
+
+
+def test_degree_diversity(spark, graph):
+    _, edges = graph
+    dd = {r["id"]: r for r in analytics.degree_diversity(edges).collect()}
+    assert dd["a"]["out_degree"] == 2 and dd["a"]["out_rel_types"] == 2
+    assert dd["c"]["in_degree"] == 2 and dd["c"]["out_degree"] == 1
+
+
+def test_relation_patterns(spark, graph):
+    nodes, edges = graph
+    pats = {(r["src_type"], r["relation_type"], r["dst_type"]): r["n"]
+            for r in analytics.relation_patterns(nodes, edges).collect()}
+    assert pats[("Person", "employed_by", "Organization")] == 2
+    assert pats[("Person", "knows", "Person")] == 3
+
+
+def test_bidirectional_pairs(spark, graph):
+    _, edges = graph
+    pairs = analytics.bidirectional_pairs(edges).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["a"], pairs[0]["b"], pairs[0]["n_edges"]) == ("a", "b", 2)
+
+
+def test_induced_subgraph(spark, graph):
+    _, edges = graph
+    sel = edges.sparkSession.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    sub = analytics.induced_subgraph(edges, sel)
+    assert sub.count() == 4  # a-b, b-a, a-c, b-c; c-d and e-f excluded
+
+
+def test_n_hop_and_shortest_path(spark, graph):
+    _, edges = graph
+    start = spark.createDataFrame([("a",)], "id string")
+    hops = {r["id"]: r["hop"]
+            for r in analytics.n_hop_neighborhood(edges, start, hops=2).collect()}
+    assert hops == {"a": 0, "b": 1, "c": 1, "d": 2}
+    assert analytics.shortest_path_length(edges, "a", "d") == 2
+    assert analytics.shortest_path_length(edges, "a", "f") is None
+
+
+def test_pagerank_properties(spark, graph):
+    nodes, edges = graph
+    pr = {r["id"]: r["rank"]
+          for r in analytics.pagerank(nodes, edges, iterations=12).collect()}
+    assert pytest.approx(sum(pr.values()), rel=1e-3) == 6.0  # mass conserved
+    assert pr["c"] > pr["d"] > 0  # hub ranks above leaf... c feeds d
+    assert pr["c"] == max(pr[k] for k in "abef") or pr["c"] > pr["e"]
+
+
+def test_clusters(spark, graph):
+    nodes, edges = graph
+    cl = {r["id"]: r["cluster"] for r in analytics.clusters(nodes, edges).collect()}
+    assert cl["a"] == cl["b"] == cl["c"] == cl["d"]
+    assert cl["e"] == cl["f"] != cl["a"]
+
+
+def test_graph_stats(spark, graph):
+    nodes, edges = graph
+    st = {(r["metric"], r["key"]): r["n"]
+          for r in analytics.graph_stats(nodes, edges).collect()}
+    assert st[("entities_by_type", "Person")] == 4
+    assert st[("edges_by_relation", "knows")] == 3

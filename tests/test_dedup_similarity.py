@@ -1,0 +1,116 @@
+"""Self-consistency tests for the training-data operators (dedup, similarity,
+text analysis, multimodal plumbing) on constructed corpora with known
+ground truth.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),        # near dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "der schnelle braune fuchs springt und ist nicht mit"),
+        (5, "le renard brun rapide saute et est un pour les"),
+        (6, "the quick brown fox jumps over the lazy dog today"),  # near dup of 0
+        (7, "el zorro marrón rápido salta y es un por los que"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.dedup import (
+        dedup_keep_first, exact_duplicates)
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 0
+    kept = dedup_keep_first(docs)
+    assert kept.count() == 7
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0           # exact dup
+    assert (0, 2) in pairs                # near dup shares most shingles
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.dedup import minhash_lsh_pairs
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_pairs(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.dedup import (
+        simhash, simhash_near_pairs)
+    fp = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert (0, 1) in pairs
+    hamming_03 = bin(fp[0] ^ fp[3]).count("1")
+    assert hamming_03 > 16  # unrelated docs stay far apart
+
+
+def test_language_id(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.textanalysis import language_id
+    pred = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert pred[0] == "en" and pred[4] == "de" and pred[5] == "fr" \
+        and pred[7] == "es"
+
+
+def test_token_stats_and_quality(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.textanalysis import (
+        quality_score, token_stats)
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[0]["n_tokens"] == 9
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_cosine_topk_exact(spark):
+    from knowledgegraphsiqidis_spark.operators.similarity import cosine_topk
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "query_id long, query_vec array<double>")
+    top = cosine_topk(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])] == [1, 2, 3]
+
+
+def test_lsh_cosine_pairs(spark):
+    from knowledgegraphsiqidis_spark.operators.similarity import lsh_cosine_pairs
+    import math
+    vecs = []
+    for i in range(20):
+        angle = (i % 5) * 0.7
+        vecs.append((i, [math.cos(angle), math.sin(angle)]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = lsh_cosine_pairs(emb, dim=2, n_planes=4, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # identical-angle vectors (i ≡ j mod 5) must be found
+    assert (0, 5) in got and (1, 6) in got
+    assert all(a % 5 == b % 5 for a, b in got)
+
+
+def test_multimodal_plumbing(spark, docs):
+    from knowledgegraphsiqidis_spark.operators.multimodal import (
+        extract_features, synth_media)
+    media = synth_media(spark, docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["feature"])
+    # deterministic: same payload -> same hash/feature
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id["m-0"]["content_hash"] == by_id["m-1"]["content_hash"]
