@@ -139,7 +139,10 @@ def mentions_table(extractions: DataFrame, forms_c: DataFrame) -> DataFrame:
 
 def lineage_for(df: DataFrame, stage: str, conv_col: str = "conv_id") -> DataFrame:
     """Per-partition row counts + conv range + checksum (north_rule lineage)."""
-    cols = df.columns
+    # MAP columns are excluded — Spark prohibits hashing maps (undefined
+    # entry order); the remaining columns identify a row for lineage purposes.
+    cols = [f.name for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")]
     checksum = F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("checksum")
     return (df
             .groupBy(F.spark_partition_id().alias("partition_id"))
