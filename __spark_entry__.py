@@ -335,6 +335,71 @@ def _q_kg_timeline(spark, sf):
             .agg(F.count("*").alias("n")))
 
 
+def _q_g17_two_hop(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") < 20)
+    e1 = li.select(F.col("l_suppkey").alias("a"),
+                   F.col("l_partkey").alias("b")).distinct()
+    e2 = li.select(F.col("l_partkey").alias("b"),
+                   F.col("l_orderkey").alias("c")).distinct()
+    return (e1.join(e2, "b").select("a", "c").distinct()
+            .groupBy("a").agg(F.count("*").alias("n_two_hop")))
+
+
+def _q_kg_importance(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.inference import entity_importance
+    r = _kg(spark, sf)
+    return (entity_importance(r.tables["nodes"], r.tables["edges"], iterations=10)
+            .select("canonical_name", "type", F.round("importance", 5)
+                    .alias("importance"))
+            .limit(15))
+
+
+def _q_kg_transitive(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.inference import (
+        transitive_inference)
+    r = _kg(spark, sf)
+    return (transitive_inference(r.tables["nodes"], r.tables["edges"])
+            .groupBy("inferred_relation").agg(F.count("*").alias("n")))
+
+
+def _q_kg_common_neighbor(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.inference import (
+        common_neighbor_inference)
+    r = _kg(spark, sf)
+    return (common_neighbor_inference(r.tables["nodes"], r.tables["edges"])
+            .groupBy("inferred_relation").agg(F.count("*").alias("n")))
+
+
+def _q_kg_betweenness(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.analytics import (
+        betweenness_sampled)
+    r = _kg(spark, sf)
+    bc = betweenness_sampled(r.tables["nodes"], r.tables["edges"], n_sources=6)
+    return (bc.join(r.tables["nodes"], "id")
+            .select("canonical_name", F.round("betweenness", 4).alias("betweenness"))
+            .orderBy(F.desc("betweenness"), F.asc("canonical_name")).limit(10))
+
+
+def _q_kg_bayes_resolve(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.inference import bayesian_resolve
+    r = _kg(spark, sf)
+    return bayesian_resolve(r.tables["nodes"], r.tables["aliases"],
+                            r.tables["edges"], "Gulfstream")
+
+
+def _q_corroboration(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.inference import (
+        fact_corroboration)
+    d = _t(spark, sf, "documents")
+    facts = d.select(F.col("doc_id").cast("string").alias("fact_id"),
+                     F.substring("text", 1, 120).alias("text"),
+                     F.when(F.col("lang") == "en", "finding")
+                     .otherwise("allegation").alias("fact_type"))
+    sources = d.select(F.col("doc_id").cast("string").alias("fact_id"),
+                       F.col("source").alias("source_doc"))
+    return fact_corroboration(facts, sources)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p4_name_search": _q_p4_name_search,
@@ -371,6 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clusters": _q_kg_clusters,
         "kg_relation_patterns": _q_kg_relation_patterns,
         "kg_timeline": _q_kg_timeline,
+        "g17_two_hop": _q_g17_two_hop,
+        "kg_importance": _q_kg_importance,
+        "kg_transitive": _q_kg_transitive,
+        "kg_common_neighbor": _q_kg_common_neighbor,
+        "kg_betweenness": _q_kg_betweenness,
+        "kg_bayes_resolve": _q_kg_bayes_resolve,
+        "corroboration": _q_corroboration,
     }
 
 
@@ -546,6 +618,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, cosine, row_number() OVER ("
             "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s) "
             "WHERE rank <= 5",
+        "g17_two_hop":
+            "WITH e1 AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS b "
+            "FROM lineitem WHERE l_suppkey < 20), "
+            "e2 AS (SELECT DISTINCT l_partkey AS b, l_orderkey AS c "
+            "FROM lineitem WHERE l_suppkey < 20) "
+            "SELECT a, count(*) AS n_two_hop FROM "
+            "(SELECT DISTINCT a, c FROM e1 JOIN e2 USING (b)) GROUP BY a",
         "multimodal_meta":
             "SELECT 'm-' || doc_id AS media_id, "
             "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "

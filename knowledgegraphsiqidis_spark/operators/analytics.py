@@ -144,6 +144,76 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
+def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
+                        n_sources: int = 8, max_depth: int = 6) -> DataFrame:
+    """Brandes betweenness centrality, source-sampled (G12; the reference
+    bounds cost the same way, server.py:1057-1069, ≤100 sources).
+
+    Per sampled source: forward BFS computing (dist, sigma = #shortest paths)
+    as level-by-level joins, then the standard backward dependency
+    accumulation level-by-level.  Each level is one join + one aggregation;
+    the per-source loop is driver-side orchestration only — all data stays
+    distributed.  Undirected, like the reference.
+    """
+    spark = edges.sparkSession
+    sym = (edges.select("src", "dst")
+           .unionAll(edges.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+           .distinct().localCheckpoint())
+    sources = [r["id"] for r in
+               nodes.select("id").orderBy("id").limit(n_sources).collect()]
+    total = None
+    for s in sources:
+        # forward phase: levels[d] = (id, sigma)
+        frontier = spark.createDataFrame([(s, 1.0)], "id string, sigma double") \
+            .localCheckpoint()
+        levels = [frontier]
+        visited = frontier.select("id").localCheckpoint()
+        for _ in range(max_depth):
+            nxt = (frontier.join(sym, frontier.id == sym.src)
+                   .select(F.col("dst").alias("id"), "sigma")
+                   .join(visited, "id", "left_anti")
+                   .groupBy("id").agg(F.sum("sigma").alias("sigma"))
+                   .localCheckpoint())
+            if nxt.rdd.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.unionAll(nxt.select("id")).localCheckpoint()
+            frontier = nxt
+        # backward phase: delta accumulation from deepest level upward
+        delta = levels[-1].select("id", F.lit(0.0).alias("delta"))
+        for d in range(len(levels) - 1, 0, -1):
+            child = (levels[d].join(delta, "id")
+                     .select("id", "sigma", "delta"))
+            # contribution to each parent p at level d-1:
+            #   sigma_p / sigma_child * (1 + delta_child)
+            contrib = (child.join(sym, child.id == sym.src)
+                       .select(F.col("dst").alias("pid"),
+                               ((F.lit(1.0) + F.col("delta")) / F.col("sigma"))
+                               .alias("part"))
+                       .join(levels[d - 1].select(F.col("id").alias("pid"),
+                                                  F.col("sigma").alias("psig")),
+                             "pid")
+                       .groupBy("pid")
+                       .agg(F.sum(F.col("part")).alias("ratio")))
+            parent_delta = (levels[d - 1]
+                            .join(contrib, levels[d - 1].id == contrib.pid, "left")
+                            .select("id", "sigma",
+                                    (F.col("sigma")
+                                     * F.coalesce("ratio", F.lit(0.0)))
+                                    .alias("delta")))
+            acc = parent_delta.filter(F.col("id") != s) \
+                .select("id", "delta")
+            total = acc if total is None else total.unionAll(acc)
+            delta = parent_delta.select("id", "delta").localCheckpoint()
+        # leaves of intermediate levels contribute via delta already
+    if total is None:
+        return nodes.select("id", F.lit(0.0).alias("betweenness"))
+    scores = total.groupBy("id").agg((F.sum("delta") / 2.0).alias("betweenness"))
+    return (nodes.select("id").join(scores, "id", "left")
+            .fillna(0.0, subset=["betweenness"]))
+
+
 def clusters(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Undirected connected clusters of the entity graph (G13) via the same
     large-star/small-star kernel used for ER canonicalization."""

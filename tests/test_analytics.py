@@ -94,3 +94,35 @@ def test_graph_stats(spark, graph):
           for r in analytics.graph_stats(nodes, edges).collect()}
     assert st[("entities_by_type", "Person")] == 4
     assert st[("edges_by_relation", "knows")] == 3
+
+
+def test_betweenness_sampled(spark):
+    # path graph a-b-c-d-e: exact betweenness (undirected, all sources):
+    # b: 3, c: 4, d: 3, endpoints 0
+    nodes = spark.createDataFrame([(x,) for x in "abcde"], "id string")
+    nodes = nodes.withColumn("type", F.lit("Person")) \
+                 .withColumn("canonical_name", F.col("id"))
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("b", "c", "r"), ("c", "d", "r"), ("d", "e", "r")],
+        "src string, dst string, relation_type string")
+    bc = {r["id"]: r["betweenness"]
+          for r in analytics.betweenness_sampled(nodes, edges,
+                                                 n_sources=5).collect()}
+    assert bc["c"] == pytest.approx(4.0)
+    assert bc["b"] == pytest.approx(3.0) and bc["d"] == pytest.approx(3.0)
+    assert bc["a"] == 0.0 and bc["e"] == 0.0
+
+
+def test_betweenness_diamond(spark):
+    # diamond a->b,c->d: two shortest paths a-d; b and c each get 0.5
+    nodes = spark.createDataFrame(
+        [(x, "T", x) for x in "abcd"], "id string, type string, canonical_name string")
+    edges = spark.createDataFrame(
+        [("a", "b", "r"), ("a", "c", "r"), ("b", "d", "r"), ("c", "d", "r")],
+        "src string, dst string, relation_type string")
+    bc = {r["id"]: r["betweenness"]
+          for r in analytics.betweenness_sampled(nodes, edges,
+                                                 n_sources=4).collect()}
+    # every node mediates exactly one of the two 2-hop pairs ((a,d) through
+    # b/c; (b,c) through a/d), each with 2 shortest paths → 0.5 everywhere
+    assert all(bc[x] == pytest.approx(0.5) for x in "abcd")
