@@ -45,7 +45,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
     n_conv = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS",
-                                str(max(200, int(25000 * sf)))))
+                                str(max(500, int(250_000 * sf)))))
 
     spark = get_spark("kgspark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

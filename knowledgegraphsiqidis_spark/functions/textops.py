@@ -152,6 +152,34 @@ def find_party_section(text: str) -> str:
     return ""
 
 
+# A party pattern can only match ending at/near a literal role keyword; the
+# organization-name prefix is bounded (≤59 chars + ≤12 suffix + separators),
+# so scanning an 80-char lookback window around each keyword occurrence is
+# equivalent to scanning the whole region — but skips the quadratic
+# backtracking over the 3000-char caption for every pattern.  Matches are
+# deduplicated by span and yielded in position order, preserving finditer
+# semantics for the `seen` first-occurrence logic.
+_PARTY_LOOKBACK = 80
+
+
+def _party_matches(pat: re.Pattern, role: str, region: str, region_lower: str):
+    spans = set()
+    matches = []
+    start = 0
+    while True:
+        k = region_lower.find(role, start)
+        if k < 0:
+            break
+        w0 = max(0, k - _PARTY_LOOKBACK)
+        w1 = min(len(region), k + len(role) + 8)
+        for m in pat.finditer(region, w0, w1):
+            if m.span() not in spans:
+                spans.add(m.span())
+                matches.append(m)
+        start = k + 1
+    return sorted(matches, key=lambda m: m.start())
+
+
 def extract_parties(text: str) -> List[Dict[str, Any]]:
     """Party names + roles from caption-ish text.
 
@@ -167,7 +195,7 @@ def extract_parties(text: str) -> List[Dict[str, Any]]:
     for pat, role in PARTY_PATTERNS:
         if role not in region_lower:
             continue
-        for m in pat.finditer(region):
+        for m in _party_matches(pat, role, region, region_lower):
             name = _WS.sub(' ', m.group(1).strip()).strip(' ,.')
             low = name.lower()
             if len(name) < 3 or len(name) > 80 or low in seen:
