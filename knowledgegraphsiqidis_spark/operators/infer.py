@@ -11,11 +11,13 @@ entities, conversation-scoped exactly as the reference is document-scoped:
   rule 4  org-name containment → ``affiliated_with`` shorter→longer
           (semantic_extractor.py:737-761), confidence 0.5
 
-Rules for attorney/executive props and fact-derived edges
-(semantic_extractor.py:636-664, 684-735) activate only when the pluggable
-semantic extractor supplies role/client/company properties or facts; with the
-deterministic structural extractor they are provably empty, so they are
-represented by the same join templates operating on empty inputs.
+Fact-derived edges (``infer_facts_stage``: payment→paid, breach→breached,
+obligation→binds; semantic_extractor.py:684-735) activate when the pluggable
+semantic extractor supplies facts — with the deterministic structural
+extractor the facts input is empty and they emit nothing.  Attorney/executive
+property rules (semantic_extractor.py:636-664) need per-entity client/company
+hint properties that only an LLM extractor produces; they are intentionally
+not implemented until such an extractor is plugged in.
 
 Every rule is an equi-join on ``conv_id`` plus cheap predicates — Catalyst
 plans these as co-partitioned shuffle joins sharing one exchange of the
@@ -82,8 +84,66 @@ def infer_stage(extractions: DataFrame) -> DataFrame:
     # The reference dedupes on lowered (src, dst, relation) pairs per document
     # (semantic_extractor.py:604); equivalent here as a case-insensitive
     # dropDuplicates within conv_id.
-    return (party_to.unionByName(opposes).unionByName(affiliated)
+    return _dedupe(party_to.unionByName(opposes).unionByName(affiliated))
+
+
+def _dedupe(triples: DataFrame) -> DataFrame:
+    return (triples
             .withColumn("_sl", F.lower("subj")).withColumn("_ol", F.lower("obj"))
             .dropDuplicates(["conv_id", "pred", "_sl", "_ol"])
             .drop("_sl", "_ol")
             .withColumn("inferred", F.lit(True)))
+
+
+FACTS_DDL = ("conv_id string, fact_type string, text string, "
+             "related_entities array<string>")
+
+
+def infer_facts_stage(extractions: DataFrame, facts: DataFrame) -> DataFrame:
+    """Fact-derived edges (semantic_extractor.py:684-735) as conv-scoped joins.
+
+    ``facts``: (conv_id, fact_type, text, related_entities) from the pluggable
+    semantic extractor.
+
+      payment/paid ... first two related entities → (e0, paid, e1), conf 0.7
+      breach ......... each related entity × Document/Reference entities whose
+                       name contains agreement/contract/covenant → breached, 0.6
+      obligation ..... each case Document/Reference entity → (doc, binds,
+                       related entity), conf 0.6 — note the reference binds
+                       rule uses ALL documents, no name filter
+    """
+    docs = (extractions
+            .filter(F.col("kind").isin("party", "term"))
+            .filter(F.col("entity_type").isin("Document", "Reference"))
+            .select("conv_id", F.col("name").alias("doc_name")))
+
+    paid = (facts.filter(F.col("fact_type").isin("payment", "paid"))
+            .filter(F.size("related_entities") >= 2)
+            .select("conv_id",
+                    F.col("related_entities")[0].alias("subj"),
+                    F.lit("paid").alias("pred"),
+                    F.col("related_entities")[1].alias("obj"),
+                    F.lit(0.7).alias("confidence"))
+            .filter((F.col("subj") != "") & (F.col("obj") != "")))
+
+    breach_rel = (facts.filter(F.col("fact_type") == "breach")
+                  .select("conv_id", F.explode("related_entities").alias("ent")))
+    agreementish = docs.filter(
+        F.lower("doc_name").contains("agreement")
+        | F.lower("doc_name").contains("contract")
+        | F.lower("doc_name").contains("covenant"))
+    breached = (breach_rel.join(agreementish, "conv_id")
+                .select("conv_id", F.col("ent").alias("subj"),
+                        F.lit("breached").alias("pred"),
+                        F.col("doc_name").alias("obj"),
+                        F.lit(0.6).alias("confidence")))
+
+    oblig_rel = (facts.filter(F.col("fact_type") == "obligation")
+                 .select("conv_id", F.explode("related_entities").alias("ent")))
+    binds = (oblig_rel.join(docs, "conv_id")
+             .select("conv_id", F.col("doc_name").alias("subj"),
+                     F.lit("binds").alias("pred"),
+                     F.col("ent").alias("obj"),
+                     F.lit(0.6).alias("confidence")))
+
+    return _dedupe(paid.unionByName(breached).unionByName(binds))

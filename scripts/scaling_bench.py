@@ -81,9 +81,15 @@ def main():
               for lv in runs.values() for x in lv}
     assert len(checks) == 1, f"output diverged across runs/levels: {checks}"
 
-    low = min(runs[n], key=lambda x: x["wall_sec"])
-    high = min(runs[n4], key=lambda x: x["wall_sec"])
-    eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0
+    # Median throughput per level: on a shared-noisy host, best-of rewards a
+    # single lucky run at either level and skews the ratio both ways; the
+    # median is the unbiased location estimate for interleaved repeats.
+    import statistics
+    med = {lv: statistics.median(x["turns_per_sec"] for x in runs[lv])
+           for lv in (n, n4)}
+    low = min(runs[n], key=lambda x: abs(x["turns_per_sec"] - med[n]))
+    high = min(runs[n4], key=lambda x: abs(x["turns_per_sec"] - med[n4]))
+    eff = (med[n4] / med[n]) / 4.0
     hw = hardware_ceiling(n, n4)
     print(f"scaling efficiency local[{n}] -> local[{n4}]: {eff:.3f} "
           f"(hardware multiprocessing ceiling: {hw/4:.3f})")
@@ -99,7 +105,7 @@ the N-vs-4N-executor criterion is evidenced by the identical KG-construction
 job (extract→resolve→build, {n_conv} conversations / {low['n_turns']} turns,
 seed 42) at `local[{n}]` (N) and `local[{n4}]` (4N) in fresh JVMs.
 
-## Best-of-{repeats} interleaved runs
+## Median-of-{repeats} interleaved runs
 
 | level | cpus | wall (s) | turns/sec | triples | checksum |
 |---|---|---|---|---|---|
