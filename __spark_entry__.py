@@ -12,9 +12,34 @@ rows-only (documented per entry).
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Make the repo importable regardless of the caller's cwd, and ship the
+# package to executors (python workers inherit neither the driver's runtime
+# sys.path mutations nor its cwd in the general case).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+_PYFILES_SENT: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SENT:
+        return
+    import shutil
+    import tempfile
+    zip_base = os.path.join(tempfile.gettempdir(), "knowledgegraphsiqidis_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", root_dir=_REPO,
+                            base_dir="knowledgegraphsiqidis_spark")
+    sc.addPyFile(zip_path)
+    _PYFILES_SENT.add(id(sc))
 
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
            "lineitem", "events", "documents", "embeddings")
@@ -35,6 +60,7 @@ def _kg(spark: SparkSession, sf_dir: str):
     key = sf_dir
     if key in _KG_CACHE:
         return _KG_CACHE[key]
+    _ship_package(spark)
     from knowledgegraphsiqidis_spark.plans.pipeline import run_pipeline
     from knowledgegraphsiqidis_spark.sources.transcripts import transcripts_df
     n_docs = _t(spark, sf_dir, "documents").count()
@@ -279,6 +305,7 @@ def _q_ann_cosine_topk(spark, sf):
 
 
 def _q_multimodal_meta(spark, sf):
+    _ship_package(spark)  # mapInPandas closure imports the package on executors
     from knowledgegraphsiqidis_spark.operators.multimodal import (
         extract_features, synth_media)
     d = _t(spark, sf, "documents")
