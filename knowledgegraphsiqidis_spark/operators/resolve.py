@@ -132,20 +132,68 @@ def blocked_overflow(forms: DataFrame,
 
 
 def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
-                max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
+                max_block: int = DEFAULT_MAX_BLOCK,
+                canonical_rounds: int = 3) -> DataFrame:
     """Accepted match pairs (key_a, key_b) for connected components.
 
-    The reference resolver is an argmax, not a threshold-transitive closure:
-    each incoming entity merges with its single best-scoring existing
-    candidate (find_best_match, extraction_pipeline.py:257-271; strict ``>``
-    comparison → first-stored candidate wins ties).  Replicated here by
-    keeping, per later form (key_b), only the highest-scoring earlier form
-    (ties → smallest key_a).  The result is a functional forest, which the
-    large-star/small-star pass collapses to canonical components.
+    Two reference-resolver behaviors are replicated
+    (find_best_match, extraction_pipeline.py:257-271, 615-733):
+
+    1. **Argmax, not transitive closure** — each incoming entity merges with
+       its single best-scoring candidate (strict ``>`` → first-stored wins
+       ties).  Per later form (key_b) only the best edge is kept; the result
+       is a functional forest collapsed by large-star/small-star.
+    2. **Scores are against cluster CANONICAL names** — aliases only aid
+       candidate discovery; ``find_best_match`` scores
+       ``candidate.canonical_name``.  A form-level score can admit chain
+       merges the reference rejects (e.g. "Aperture" scores 0.9 vs alias
+       "Aperture LLC" but 0.79̅ vs that cluster's canonical
+       "and Aperture Corporation").  Replicated by iterative refinement:
+       build components from current edges, re-score every candidate pair
+       against the earlier side's component canonical with the later form's
+       validated type, re-argmax with the ≥ threshold cut, repeat until the
+       edge set is stable (2-3 rounds in practice; round 0 = every form its
+       own canonical, i.e. the plain pair scores).
     """
-    w = Window.partitionBy("key_b").orderBy(F.desc("score"), F.asc("key_a"))
-    return (candidate_pairs(forms, max_block)
-            .filter(F.col("score") >= threshold)
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("key_a", "key_b"))
+    from .components import connected_components  # local import: cycle-free
+
+    pairs = candidate_pairs(forms, max_block).localCheckpoint()
+
+    def best_edges(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("key_b").orderBy(F.desc("score"),
+                                                F.asc("canon_key"))
+        return (scored.filter(F.col("score") >= threshold)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(F.col("canon_key").alias("key_a"), "key_b"))
+
+    # round 0: canonical(a) = a itself
+    edges = best_edges(pairs.withColumn("canon_key", F.col("key_a")))
+    prev_sig = None
+    for _ in range(canonical_rounds):
+        edges = edges.localCheckpoint()
+        sig = edges.agg(
+            F.count("*"),
+            F.coalesce(F.expr("bit_xor(xxhash64(key_a, key_b))"), F.lit(0))
+        ).collect()[0]
+        if (sig[0], sig[1]) == prev_sig:
+            break
+        prev_sig = (sig[0], sig[1])
+        comp = connected_components(edges)
+        form_comp = (forms.select("form_key", "name")
+                     .join(comp, forms.form_key == comp.node, "left")
+                     .withColumn("component", F.coalesce("component", "form_key"))
+                     .select("form_key", "component"))
+        canon = (form_comp.groupBy("component")
+                 .agg(F.min("form_key").alias("canon_key")))
+        canon_names = (canon.join(
+            forms.select(F.col("form_key").alias("canon_key"),
+                         F.col("name").alias("canon_name")), "canon_key"))
+        rescored = (pairs
+                    .join(form_comp.withColumnRenamed("form_key", "key_a"),
+                          "key_a")
+                    .join(canon_names, "component")
+                    .withColumn("score",
+                                _pair_score("canon_name", "name_b", "etype_b")))
+        edges = best_edges(rescored)
+    return edges.select("key_a", "key_b")
