@@ -65,7 +65,7 @@ def _kg(spark: SparkSession, sf_dir: str):
     from knowledgegraphsiqidis_spark.sources.transcripts import transcripts_df
     n_docs = _t(spark, sf_dir, "documents").count()
     n_conv = max(20, n_docs // 2)
-    transcripts = transcripts_df(spark, n_conv, seed=42)
+    transcripts = transcripts_df(spark, n_conv, seed=42).localCheckpoint()
     result = run_pipeline(spark, transcripts)
     for name in ("extractions", "nodes", "edges"):
         result.tables[name] = result.tables[name].cache()

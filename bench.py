@@ -53,7 +53,9 @@ def main():
 
     # --- headline: KG construction pipeline ---
     t0 = time.time()
-    transcripts = transcripts_df(spark, n_conv, seed=42).cache()
+    # localCheckpoint, not cache: cached RDD-backed plans re-run the generator
+    # on some downstream branches (see memory: cache-lookup misses)
+    transcripts = transcripts_df(spark, n_conv, seed=42).localCheckpoint()
     n_turns = transcripts.count()  # materialize input outside the timed span
     t1 = time.time()
     result = run_pipeline(spark, transcripts)

@@ -155,8 +155,6 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
        edge set is stable (2-3 rounds in practice; round 0 = every form its
        own canonical, i.e. the plain pair scores).
     """
-    from .components import connected_components  # local import: cycle-free
-
     pairs = candidate_pairs(forms, max_block).localCheckpoint()
 
     def best_edges(scored: DataFrame) -> DataFrame:
@@ -179,21 +177,44 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
         if (sig[0], sig[1]) == prev_sig:
             break
         prev_sig = (sig[0], sig[1])
-        comp = connected_components(edges)
-        form_comp = (forms.select("form_key", "name")
-                     .join(comp, forms.form_key == comp.node, "left")
-                     .withColumn("component", F.coalesce("component", "form_key"))
-                     .select("form_key", "component"))
-        canon = (form_comp.groupBy("component")
-                 .agg(F.min("form_key").alias("canon_key")))
-        canon_names = (canon.join(
-            forms.select(F.col("form_key").alias("canon_key"),
-                         F.col("name").alias("canon_name")), "canon_key"))
+        canon_of = _forest_roots(edges)  # (form_key, canon_key); exact —
+        # the argmax edge set is a functional forest pointing later → earlier
+        canon_names = forms.select(F.col("form_key").alias("canon_key"),
+                                   F.col("name").alias("canon_name"))
         rescored = (pairs
-                    .join(form_comp.withColumnRenamed("form_key", "key_a"),
-                          "key_a")
-                    .join(canon_names, "component")
+                    .join(canon_of.withColumnRenamed("form_key", "key_a"),
+                          "key_a", "left")
+                    .withColumn("canon_key",
+                                F.coalesce("canon_key", F.col("key_a")))
+                    .join(canon_names, "canon_key")
+                    # pairs whose earlier side is its own canonical keep the
+                    # already-computed form score; only chain members re-score
                     .withColumn("score",
-                                _pair_score("canon_name", "name_b", "etype_b")))
+                                F.when(F.col("canon_key") == F.col("key_a"),
+                                       F.col("score"))
+                                .otherwise(_pair_score("canon_name", "name_b",
+                                                       "etype_b"))))
         edges = best_edges(rescored)
     return edges.select("key_a", "key_b")
+
+
+def _forest_roots(edges: DataFrame, max_doubling: int = 5) -> DataFrame:
+    """(form_key → root form_key) for a functional forest where every edge
+    points from a later key_b to an earlier key_a — path doubling, exact in
+    ⌈log2 depth⌉ joins (the root is the tree's minimum key since every
+    parent precedes its child).
+    """
+    m = edges.select(F.col("key_b").alias("form_key"),
+                     F.col("key_a").alias("canon_key")).localCheckpoint()
+    for _ in range(max_doubling):
+        parent = m.select(F.col("form_key").alias("canon_key"),
+                          F.col("canon_key").alias("grand"))
+        m2 = (m.join(parent, "canon_key", "left")
+              .select("form_key", F.coalesce("grand", "canon_key")
+                      .alias("canon_key"))
+              .localCheckpoint())
+        changed = (m2.subtract(m)).limit(1).count()
+        m = m2
+        if changed == 0:
+            break
+    return m
