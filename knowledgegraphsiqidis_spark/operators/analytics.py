@@ -96,7 +96,7 @@ def n_hop_neighborhood(edges: DataFrame, start_ids: DataFrame, hops: int = 2,
                .join(visited.select("id"), "id", "left_anti")
                .withColumn("hop", F.lit(h))
                .localCheckpoint())
-        if nxt.rdd.isEmpty():
+        if nxt.isEmpty():
             break
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
@@ -175,7 +175,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                    .join(visited, "id", "left_anti")
                    .groupBy("id").agg(F.sum("sigma").alias("sigma"))
                    .localCheckpoint())
-            if nxt.rdd.isEmpty():
+            if nxt.isEmpty():
                 break
             levels.append(nxt)
             visited = visited.unionAll(nxt.select("id")).localCheckpoint()
@@ -206,7 +206,12 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                 .select("id", "delta")
             total = acc if total is None else total.unionAll(acc)
             delta = parent_delta.select("id", "delta").localCheckpoint()
-        # leaves of intermediate levels contribute via delta already
+        # leaves of intermediate levels contribute via delta already.
+        # Pin the accumulator once per source: without this the unionAll
+        # lineage grows O(sources × levels) deep and Catalyst plan
+        # compilation (not the data) becomes the bottleneck at ~100 sources.
+        if total is not None:
+            total = total.localCheckpoint()
     if total is None:
         return nodes.select("id", F.lit(0.0).alias("betweenness"))
     scores = total.groupBy("id").agg((F.sum("delta") / 2.0).alias("betweenness"))

@@ -22,7 +22,7 @@ negation-pair constant table.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TYPE_WEIGHTS = {
     "Person": 1.5, "Organization": 1.5, "Fact": 1.2, "Date": 0.8,
@@ -134,13 +134,17 @@ def bayesian_resolve(nodes: DataFrame, aliases: DataFrame,
                   .groupBy(F.col("entity_id").alias("id"))
                   .agg(F.max(F.when(F.col("alias_l") == q, 1).otherwise(0))
                        .alias("alias_exact_hit")))
-    # candidates = name-containment hits ∪ alias hits (database.py:204-215)
+    # candidates = name-containment hits ∪ alias hits (database.py:204-215).
+    # Type filter BEFORE the limit, and a deterministic ordering before it —
+    # the reference's LIMIT follows stable insertion order (database.py:204-
+    # 215); an unordered DataFrame .limit() would be nondeterministic across
+    # partitionings, violating the engine's determinism guarantee.
     cand = (cand.unionByName(
         nodes.join(alias_hits.select("id"), "id", "left_semi"))
-        .dropDuplicates(["id"])
-        .limit(limit))
+        .dropDuplicates(["id"]))
     if entity_type:
         cand = cand.filter(F.col("type") == entity_type)
+    cand = cand.orderBy(F.asc("id")).limit(limit)
 
     qw = F.array(*[F.lit(w) for w in q.split()])
     name_words = F.split(name_l, r"\s+")
@@ -172,8 +176,11 @@ def bayesian_resolve(nodes: DataFrame, aliases: DataFrame,
                  + 0.3 * edge_prior + 0.5 * conf_prior)
     raw_p = F.lit(1.0) / (F.lit(1.0) + F.exp(-log_score))
     scored = cand.withColumn("raw_p", raw_p)
-    total = scored.agg(F.sum("raw_p")).collect()[0][0] or 1.0
-    return (scored.withColumn("probability", F.col("raw_p") / F.lit(float(total)))
+    # Normalize with an unpartitioned window instead of a driver collect: the
+    # candidate set is ≤ limit rows by construction, so the single-partition
+    # window is bounded and the whole operator stays one Spark job.
+    total = F.sum("raw_p").over(Window.partitionBy())
+    return (scored.withColumn("probability", F.col("raw_p") / total)
             .select("id", "canonical_name", "type",
                     F.round("probability", 6).alias("probability"))
             .orderBy(F.desc("probability"), F.asc("id")))

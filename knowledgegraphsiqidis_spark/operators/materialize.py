@@ -90,8 +90,12 @@ def materialize_edges(raw_triples: DataFrame, mention_map: DataFrame) -> DataFra
                                F.col("component").alias("dst"))
     joined = (t.join(s_map, (t.conv_id == s_map.s_conv) & (t.subj_l == s_map.subj_l))
               .join(o_map, (t.conv_id == o_map.o_conv) & (t.obj_l == o_map.obj_l)))
+    # Edge id hashes the RAW (deduped) triple key — (conv_id, pred, subj_l,
+    # obj_l) is unique per row after infer's per-conv dedupe — so two distinct
+    # raw triples that resolve to the same canonical endpoints keep distinct
+    # ids, matching the reference's uuid-per-edge row-key shape (models.py).
     return (joined.select(
-        F.sha2(F.concat_ws("|", "conv_id", "src", "dst", "pred"), 256).alias("id"),
+        F.sha2(F.concat_ws("|", t.conv_id, t.pred, t.subj_l, t.obj_l), 256).alias("id"),
         "src", "dst",
         F.col("pred").alias("relation_type"),
         F.map_from_arrays(F.array(F.lit("inferred")),

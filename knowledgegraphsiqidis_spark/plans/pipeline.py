@@ -40,8 +40,15 @@ class PipelineResult:
         return materialize.triples_view(self.tables["edges"], self.tables["nodes"])
 
 
+_DONE_MARKER = "_KG_DONE"
+
+
 def _done(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    # The stage is complete only once the engine's own marker exists — it is
+    # written AFTER the lineage append, so a crash between the parquet job's
+    # _SUCCESS and the lineage write reruns the stage (overwrite) instead of
+    # silently skipping a stage whose lineage rows are missing.
+    return os.path.exists(os.path.join(path, _DONE_MARKER))
 
 
 class KGPipeline:
@@ -84,9 +91,16 @@ class KGPipeline:
             out = build()
             out.write.mode("overwrite").parquet(path)
             if self.lineage and conv_col and conv_col in out.columns:
+                # Lineage lands in a per-stage partition dir with OVERWRITE
+                # semantics, BEFORE the stage's done-marker: a crash anywhere
+                # in between reruns the whole stage idempotently (both writes
+                # overwrite), so lineage can neither go missing nor duplicate.
                 persisted = self.spark.read.parquet(path)
                 (materialize.lineage_for(persisted, stage, conv_col)
-                 .write.mode("append").parquet(os.path.join(self.out_dir, "lineage")))
+                 .drop("stage")  # carried by the partition directory
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(self.out_dir, "lineage", f"stage={stage}")))
+            open(os.path.join(path, _DONE_MARKER), "w").close()
         return self.spark.read.parquet(path)
 
     def run(self, transcripts: DataFrame,

@@ -57,10 +57,15 @@ def viz_subgraph(nodes: DataFrame, edges: DataFrame, top_n: int = 500,
 
 def export_graphml(nodes: DataFrame, edges: DataFrame, path: str,
                    max_nodes: int = 10_000) -> str:
-    """GraphML document (bounded collect; single-document format)."""
-    ns = nodes.limit(max_nodes).collect()
-    ids = {r["id"] for r in ns}
-    es = [r for r in edges.collect() if r["src"] in ids and r["dst"] in ids]
+    """GraphML document (single-document format, driver-assembled like the
+    reference's hand-built XML, server.py:983-1019).
+
+    The node cap and the induced-edge semi-join run distributed; only the
+    bounded subgraph is collected — never the full edge table.
+    """
+    sel = nodes.orderBy("id").limit(max_nodes).localCheckpoint()
+    ns = sel.collect()
+    es = induced_subgraph(edges, sel.select("id")).collect()
     parts = ['<?xml version="1.0" encoding="UTF-8"?>',
              '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
              '<key id="name" for="node" attr.name="name" attr.type="string"/>',
