@@ -31,11 +31,17 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if id(sc) in _PYFILES_SENT:
         return
+    import glob
     import shutil
     import tempfile
     zip_base = os.path.join(tempfile.gettempdir(), "knowledgegraphsiqidis_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    # Rebuild whenever any package source is newer than the zip — a stale
+    # cached zip would otherwise shadow edited modules on executors.
+    srcs = glob.glob(os.path.join(_REPO, "knowledgegraphsiqidis_spark",
+                                  "**", "*.py"), recursive=True)
+    newest = max(os.path.getmtime(p) for p in srcs)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
         shutil.make_archive(zip_base, "zip", root_dir=_REPO,
                             base_dir="knowledgegraphsiqidis_spark")
     sc.addPyFile(zip_path)
@@ -55,6 +61,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 _KG_CACHE: dict = {}
 
+# The kg_* oracles verify the analytics operators with independent DuckDB SQL
+# over the pipeline's materialized stage tables: every _kg() build dumps them
+# here (per sf basename), and oracle_sql() reads the same dump.  Extraction +
+# ER themselves are verified against the reference kernels by pytest
+# (tests/test_pipeline_e2e.py), which SQL cannot express.
+_KG_DUMP_ROOT = "/tmp/kg_oracle"
+_KG_DUMP_TABLES = ("nodes", "edges", "extractions", "aliases")
+
 
 def _kg(spark: SparkSession, sf_dir: str):
     key = sf_dir
@@ -69,6 +83,10 @@ def _kg(spark: SparkSession, sf_dir: str):
     result = run_pipeline(spark, transcripts)
     for name in ("extractions", "nodes", "edges"):
         result.tables[name] = result.tables[name].cache()
+    dump = os.path.join(_KG_DUMP_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    for name in _KG_DUMP_TABLES:
+        result.tables[name].write.mode("overwrite").parquet(
+            os.path.join(dump, name))
     _KG_CACHE[key] = result
     return result
 
@@ -289,10 +307,48 @@ def _q_lang_id(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
+    # max_df caps hot boilerplate shingles (the O(k²) self-join blowup); the
+    # DuckDB oracle applies the identical df filter.
     from knowledgegraphsiqidis_spark.operators.dedup import ngram_jaccard_pairs
     d = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.2, max_df=100)
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_minhash_lsh(spark, sf):
+    # rows-only: signatures are xxhash64-based (no DuckDB equivalent);
+    # pytest checks recall/precision against exact Jaccard ground truth.
+    from knowledgegraphsiqidis_spark.operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf, "documents")
+    return (minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5)
+            .select("id_a", "id_b", F.round("est_jaccard", 4)
+                    .alias("est_jaccard")))
+
+
+def _q_simhash_pairs(spark, sf):
+    from knowledgegraphsiqidis_spark.operators.dedup import simhash_near_pairs
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+def _q_lsh_cosine(spark, sf):
+    """Banded cosine LSH with PLANTED near-duplicates: the first 50 vectors
+    are duplicated (id + 100000) with a 0.05 perturbation on dim 0 — cosine
+    ≈ 0.9999 ≫ the random-pair max (~0.44 at 64 dims), so the exact
+    ground-truth pair set is recoverable by the DuckDB brute-force oracle and
+    the banded LSH must reach it (miss probability < 1e-8 per pair at 4×4
+    planes)."""
+    from knowledgegraphsiqidis_spark.operators.similarity import lsh_cosine_pairs
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    dim = len(e.select("embedding").first()[0])
+    planted = (e.filter(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.concat(F.array(F.col("embedding")[0] + F.lit(0.05)),
+                                F.slice("embedding", 2, dim - 1))
+                       .alias("embedding")))
+    allv = e.unionByName(planted)
+    return lsh_cosine_pairs(allv, dim=dim, n_planes=16, bands=4, threshold=0.9)
 
 
 def _q_ann_cosine_topk(spark, sf):
@@ -414,6 +470,83 @@ def _q_kg_bayes_resolve(spark, sf):
                             r.tables["edges"], "Gulfstream")
 
 
+def _kg_endpoints(spark, sf):
+    """Deterministic path endpoints: the two highest-degree nodes
+    (connections desc, id asc) — same ordering the oracle SQL uses."""
+    from knowledgegraphsiqidis_spark.operators.analytics import degree
+    r = _kg(spark, sf)
+    top = (degree(r.tables["edges"])
+           .orderBy(F.desc("connections"), F.asc("id")).limit(2).collect())
+    return top[0]["id"], top[1]["id"]
+
+
+def _q_kg_path_hops(spark, sf):
+    """Shortest-path LENGTH between the two hottest nodes — oracled by a
+    deduplicating recursive-CTE BFS in DuckDB."""
+    from knowledgegraphsiqidis_spark.operators.analytics import shortest_path
+    r = _kg(spark, sf)
+    s, t = _kg_endpoints(spark, sf)
+    return shortest_path(r.tables["edges"], s, t, max_hops=6) \
+        .select("src", "dst", "hops")
+
+
+def _q_kg_shortest_path(spark, sf):
+    """Full path reconstruction (G8): rows-only (lexicographic-min path
+    among shortest is not tractable in set SQL); exact small-graph pytest
+    oracle in tests/test_paths.py."""
+    from knowledgegraphsiqidis_spark.operators.analytics import shortest_path
+    r = _kg(spark, sf)
+    s, t = _kg_endpoints(spark, sf)
+    p = shortest_path(r.tables["edges"], s, t, max_hops=6)
+    return p.select("src", "dst", "hops",
+                    F.array_join("path", " -> ").alias("path"))
+
+
+def _q_kg_all_paths(spark, sf):
+    """Bounded all-simple-paths (G9) between the two hottest nodes, ≤2 hops
+    — oracled by direct + common-neighbor join enumeration in DuckDB."""
+    from knowledgegraphsiqidis_spark.operators.analytics import all_paths
+    r = _kg(spark, sf)
+    s, t = _kg_endpoints(spark, sf)
+    return (all_paths(r.tables["edges"], s, t, max_hops=2)
+            .groupBy("hops").agg(F.count("*").alias("n_paths")))
+
+
+def _q_kg_resolution_queue(spark, sf):
+    """Three-band ER with the embedding confirmer: ambiguous 0.8-0.9 matches
+    that the embedding does not confirm, plus unaccepted kNN candidates,
+    land in the resolution queue (reference resolution_queue table,
+    database.py:517-530).  Rows-only: pair scoring + hash embeddings are not
+    SQL; band semantics are pytest-verified (test_resolution_queue.py)."""
+    from knowledgegraphsiqidis_spark.operators.resolve import (
+        entity_forms, resolve_with_queue)
+    r = _kg(spark, sf)
+    forms = entity_forms(r.tables["extractions"]).localCheckpoint()
+    _, queue = resolve_with_queue(forms)
+    return (queue.select("form_key", "surface_text", "reason",
+                         F.explode("candidates").alias("c"), "status")
+            .select("form_key", "surface_text", "reason",
+                    F.col("c.candidate_key").alias("candidate_key"),
+                    F.round("c.score", 4).alias("score"), "status"))
+
+
+def _q_kg_resolution_rate(spark, sf):
+    """A9: resolution success rate (server.py:2145 analogue) — fraction of
+    surface forms resolved without queueing under the three-band resolver."""
+    from knowledgegraphsiqidis_spark.operators.resolve import (
+        entity_forms, resolve_with_queue)
+    r = _kg(spark, sf)
+    forms = entity_forms(r.tables["extractions"]).localCheckpoint()
+    edges, queue = resolve_with_queue(forms)
+    n_forms = forms.count()
+    n_merged = edges.select("key_b").distinct().count()
+    n_queued = queue.select("form_key").distinct().count()
+    rate = round(1.0 - n_queued / max(n_forms, 1), 6)
+    return spark.createDataFrame(
+        [(n_forms, n_merged, n_queued, rate)],
+        "n_forms long, n_merged long, n_queued long, resolution_rate double")
+
+
 def _q_corroboration(spark, sf):
     from knowledgegraphsiqidis_spark.operators.inference import (
         fact_corroboration)
@@ -454,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_cosine": _q_lsh_cosine,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "multimodal_meta": _q_multimodal_meta,
         "kg_triples": _q_kg_triples,
@@ -469,6 +605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_common_neighbor": _q_kg_common_neighbor,
         "kg_betweenness": _q_kg_betweenness,
         "kg_bayes_resolve": _q_kg_bayes_resolve,
+        "kg_path_hops": _q_kg_path_hops,
+        "kg_shortest_path": _q_kg_shortest_path,
+        "kg_all_paths": _q_kg_all_paths,
+        "kg_resolution_queue": _q_kg_resolution_queue,
+        "kg_resolution_rate": _q_kg_resolution_rate,
         "corroboration": _q_corroboration,
     }
 
@@ -492,6 +633,337 @@ def _lang_score_sql(lang: str) -> str:
         f"(CASE WHEN list_contains({toks}, '{w}') THEN 1 ELSE 0 END)"
         for w in _LANG_WORDS[lang])
     return f"({hits})"
+
+
+# --- kg_* oracles: independent DuckDB SQL over the _kg() stage-table dump ---
+
+def _kg_rp(table: str) -> str:
+    sfb = os.environ.get("KG_ORACLE_SF", "sf0.01")
+    return f"read_parquet('{_KG_DUMP_ROOT}/{sfb}/{table}/*.parquet')"
+
+
+def _case_sql(col: str, table: dict, default: float) -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in table.items())
+    return f"(CASE {col} {whens} ELSE {default} END)"
+
+
+def _pagerank_ctes(iterations: int, prefix: str, damping: float,
+                   dangling: bool) -> list[str]:
+    """Chained CTEs r0..rN unrolling the power iteration — r0 init is 1.0
+    (analytics.pagerank) when dangling redistribution is on, else 1/n
+    (inference.pagerank_reference).  Reads go through the materialized nt/et
+    base CTEs: DuckDB fails on a query repeating the same read_parquet glob
+    >~12 times, and one scan each is the right plan anyway."""
+    nodes, edges = "nt", "et"
+    init = "1.0" if dangling else "1.0 / (SELECT n FROM nn)"
+    # Every iteration CTE is MATERIALIZED: each is referenced up to three
+    # times (next rank, dangling mass, contributions) and DuckDB inlines
+    # plain CTEs — without materialization the plan recomputes r0 O(3^N)
+    # times.
+    ctes = [f"{prefix}0 AS MATERIALIZED (SELECT id, {init} AS rank "
+            f"FROM {nodes})"]
+    for i in range(1, iterations + 1):
+        p, c = f"{prefix}{i-1}", f"{prefix}{i}"
+        if dangling:
+            base = (f"(1.0 - {damping}) + {damping} * "
+                    f"(SELECT coalesce(sum(x.rank), 0) FROM {p} x "
+                    f"LEFT JOIN od ON x.id = od.src WHERE od.src IS NULL) "
+                    f"/ (SELECT n FROM nn)")
+        else:
+            base = f"(1.0 - {damping}) / (SELECT n FROM nn)"
+        ctes.append(
+            f"{c} AS MATERIALIZED (SELECT r.id, {base} + {damping} * "
+            f"coalesce(c.contrib, 0) AS rank FROM {p} r LEFT JOIN "
+            f"(SELECT e.dst AS id, sum(pr.rank / od.out_deg) AS contrib "
+            f"FROM {edges} e JOIN {p} pr ON e.src = pr.id "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst) c ON c.id = r.id)")
+    return ctes
+
+
+def _base_ctes() -> list[str]:
+    return [
+        "nt AS MATERIALIZED (SELECT id, canonical_name, type, n_mentions "
+        f"FROM {_kg_rp('nodes')})",
+        "et AS MATERIALIZED (SELECT src, dst, relation_type, confidence "
+        f"FROM {_kg_rp('edges')})",
+    ]
+
+
+def _kg_pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    ctes = _base_ctes() + [
+        "nn AS (SELECT count(*) AS n FROM nt)",
+        "od AS (SELECT src, count(*) AS out_deg FROM et GROUP BY src)"]
+    ctes += _pagerank_ctes(iterations, "r", damping, dangling=True)
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT n.canonical_name, round(r{iterations}.rank, 6) AS rank "
+        f"FROM r{iterations} JOIN nt n ON n.id = r{iterations}.id "
+        "ORDER BY 2 DESC, 1 ASC LIMIT 10")
+
+
+def _kg_importance_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    from knowledgegraphsiqidis_spark.operators.inference import TYPE_WEIGHTS
+    ctes = _base_ctes() + [
+        "nn AS (SELECT count(*) AS n FROM nt)",
+        "od AS (SELECT src, count(*) AS out_deg FROM et GROUP BY src)"]
+    ctes += _pagerank_ctes(iterations, "s", damping, dangling=False)
+    ctes += [
+        f"pr AS (SELECT id, rank * (SELECT n FROM nn) AS pagerank "
+        f"FROM s{iterations})",
+        "ind AS (SELECT dst AS id, count(*) AS in_degree FROM et GROUP BY dst)",
+        "outd AS (SELECT src AS id, count(*) AS out_degree FROM et "
+        "GROUP BY src)",
+        "div AS (SELECT id, count(DISTINCT relation_type) AS rel_diversity "
+        "FROM (SELECT src AS id, relation_type FROM et UNION ALL "
+        "SELECT dst, relation_type FROM et) GROUP BY id)",
+        "mm AS (SELECT greatest(max(coalesce(n_mentions, 0)), 1) AS mx "
+        "FROM nt)",
+        "j AS (SELECT n.canonical_name, n.type, "
+        "0.35 * coalesce(pr.pagerank, 0) "
+        "+ 0.20 * ln(1 + coalesce(ind.in_degree, 0) "
+        "+ coalesce(outd.out_degree, 0)) "
+        "+ 0.15 * ln(1 + coalesce(div.rel_diversity, 0)) "
+        "+ 0.20 * (coalesce(n.n_mentions, 0) / (SELECT mx FROM mm)) "
+        f"+ 0.10 * {_case_sql('n.type', TYPE_WEIGHTS, 1.0)} AS imp "
+        "FROM nt n LEFT JOIN pr ON pr.id = n.id "
+        "LEFT JOIN ind ON ind.id = n.id LEFT JOIN outd ON outd.id = n.id "
+        "LEFT JOIN div ON div.id = n.id)",
+        "sel AS (SELECT * FROM j ORDER BY imp DESC, canonical_name LIMIT 15)",
+    ]
+    return ("WITH " + ", ".join(ctes) +
+            " SELECT canonical_name, type, round(imp, 5) AS importance FROM sel")
+
+
+def _kg_transitive_sql() -> str:
+    from knowledgegraphsiqidis_spark.operators.inference import PATH_PATTERNS
+    nodes, edges = _kg_rp("nodes"), _kg_rp("edges")
+    whens = " ".join(
+        f"WHEN a_type = '{st}' AND rel1 = '{r1}' AND rel2 = '{r2}' "
+        f"AND c_type = '{tt}' THEN '{out}'"
+        for (st, r1, r2, tt), out in PATH_PATTERNS.items())
+    return f"""
+WITH th AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c,
+         e1.relation_type AS rel1, e2.relation_type AS rel2,
+         e1.confidence AS conf1, e2.confidence AS conf2
+  FROM {edges} e1 JOIN {edges} e2 ON e1.dst = e2.src
+  WHERE e1.src != e2.dst),
+nf AS (SELECT th.* FROM th WHERE NOT EXISTS
+  (SELECT 1 FROM {edges} d WHERE d.src = th.a AND d.dst = th.c)),
+best AS (SELECT * FROM (SELECT *, row_number() OVER (
+  PARTITION BY a, c ORDER BY rel1, rel2, b, conf1, conf2) AS rn FROM nf)
+  WHERE rn = 1),
+typed AS (SELECT best.*, na.type AS a_type, nc.type AS c_type FROM best
+  JOIN {nodes} na ON na.id = best.a JOIN {nodes} nc ON nc.id = best.c)
+SELECT CASE {whens} ELSE 'inferred_' || rel1 || '_then_' || rel2 END
+  AS inferred_relation, count(*) AS n
+FROM typed GROUP BY 1"""
+
+
+def _kg_bayes_sql(q: str = "gulfstream", limit: int = 50) -> str:
+    nodes, edges, aliases = _kg_rp("nodes"), _kg_rp("edges"), _kg_rp("aliases")
+    conf_case = _case_sql("confidence",
+                          {"confirmed": 1.0, "extracted": 0.7, "inferred": 0.4},
+                          0.5)
+    qwords = ", ".join(f"'{w}'" for w in q.split())
+    return f"""
+WITH ah AS (
+  SELECT entity_id AS id,
+         max(CASE WHEN lower(trim(alias_text)) = '{q}' THEN 1 ELSE 0 END)
+           AS alias_exact_hit
+  FROM {aliases}
+  WHERE lower(trim(alias_text)) LIKE '%{q}%'
+     OR position(lower(trim(alias_text)) IN '{q}') > 0
+  GROUP BY entity_id),
+cand AS (
+  SELECT * FROM {nodes} n
+  WHERE lower(trim(canonical_name)) LIKE '%{q}%'
+     OR EXISTS (SELECT 1 FROM ah WHERE ah.id = n.id)
+  ORDER BY id LIMIT {limit}),
+deg AS (SELECT id, count(*) AS deg FROM
+  (SELECT src AS id FROM {edges} UNION ALL SELECT dst FROM {edges})
+  GROUP BY id),
+feat AS (
+  SELECT c.id, c.canonical_name, c.type,
+    lower(trim(c.canonical_name)) AS nl,
+    string_split_regex(lower(trim(c.canonical_name)), '\\s+') AS nw,
+    coalesce(ah.alias_exact_hit, 0) AS aeh,
+    coalesce(deg.deg, 0) AS deg, coalesce(c.n_mentions, 0) AS mc,
+    {conf_case} AS conf_prior
+  FROM cand c LEFT JOIN ah ON ah.id = c.id LEFT JOIN deg ON deg.id = c.id),
+scored AS (
+  SELECT id, canonical_name, type,
+    1.0 / (1.0 + exp(-(
+      2.0 * (CASE WHEN nl = '{q}' THEN 1.0 ELSE 0.0 END)
+      + 1.2 * (CASE WHEN nl != '{q}' AND (nl LIKE '%{q}%'
+               OR position(nl IN '{q}') > 0) THEN 0.7 ELSE 0.0 END)
+      + 1.0 * (CASE WHEN nl != '{q}' AND NOT (nl LIKE '%{q}%'
+               OR position(nl IN '{q}') > 0)
+               THEN len(list_intersect(nw, [{qwords}]))
+                    / greatest(len(list_distinct(
+                        list_concat(nw, [{qwords}]))), 1)
+               ELSE 0.0 END)
+      + 1.5 * (CASE WHEN aeh = 1 THEN 0.9 ELSE 0.0 END)
+      + 0.4 * (ln(1 + mc) / 10) + 0.3 * (ln(1 + deg) / 20)
+      + 0.5 * conf_prior))) AS raw_p
+  FROM feat)
+SELECT id, canonical_name, type,
+       round(raw_p / sum(raw_p) OVER (), 6) AS probability
+FROM scored"""
+
+
+_NEG_PAIRS_SQL = [
+    ("did", "did not"), ("was", "was not"), ("is", "is not"),
+    ("has", "has not"), ("failed", "succeeded"), ("correct", "incorrect"),
+    ("true", "false"), ("confirmed", "denied"),
+]
+
+
+def _corroboration_sql() -> str:
+    neg = " OR ".join(
+        f"(txt_a LIKE '%{p}%' AND txt_b LIKE '%{n}%') "
+        f"OR (txt_a LIKE '%{n}%' AND txt_b LIKE '%{p}%')"
+        for p, n in _NEG_PAIRS_SQL)
+    num_re = r"\$[\d,]+|\d{4}|\d+%"
+    priors = _case_sql("fact_type",
+                       {"finding": 0.9, "obligation": 0.95, "allegation": 0.6,
+                        "key_term": 0.85, "deadline": 0.9}, 0.7)
+    return f"""
+WITH facts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS fact_id, substring(text, 1, 120) AS text,
+         CASE WHEN lang = 'en' THEN 'finding' ELSE 'allegation' END AS fact_type
+  FROM documents),
+f AS (SELECT fact_id AS id, lower(text) AS txt FROM facts),
+words AS (SELECT id, unnest(list_distinct(
+  string_split_regex(txt, '\\s+'))) AS w FROM f),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS overlap
+  FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+pt AS (SELECT p.*, fa.txt AS txt_a, fb.txt AS txt_b FROM pairs p
+  JOIN f fa ON fa.id = p.id_a JOIN f fb ON fb.id = p.id_b),
+contra AS (
+  SELECT id_a, id_b FROM pt
+  WHERE ({neg})
+     OR (overlap > 10
+         AND len(list_sort(list_distinct(
+             regexp_extract_all(txt_a, '{num_re}')))) > 0
+         AND len(list_sort(list_distinct(
+             regexp_extract_all(txt_b, '{num_re}')))) > 0
+         AND list_sort(list_distinct(regexp_extract_all(txt_a, '{num_re}')))
+             != list_sort(list_distinct(
+                regexp_extract_all(txt_b, '{num_re}'))))),
+cc AS (SELECT id, count(*) AS contradiction_count FROM
+  (SELECT id_a AS id FROM contra UNION ALL SELECT id_b FROM contra)
+  GROUP BY id),
+sc AS (SELECT CAST(doc_id AS VARCHAR) AS fact_id,
+       count(DISTINCT source) AS source_count FROM documents GROUP BY 1)
+SELECT fa.fact_id, fa.fact_type,
+       coalesce(sc.source_count, 0) AS source_count,
+       coalesce(cc.contradiction_count, 0) AS contradiction_count,
+       round((1.0 - exp(-0.5 * coalesce(sc.source_count, 0)))
+             * exp(-0.3 * coalesce(cc.contradiction_count, 0))
+             * {priors}, 6) AS corroboration_score
+FROM facts fa LEFT JOIN sc ON sc.fact_id = fa.fact_id
+LEFT JOIN cc ON cc.id = fa.fact_id"""
+
+
+def _kg_oracles() -> dict[str, str]:
+    nodes, edges = _kg_rp("nodes"), _kg_rp("edges")
+    extr = _kg_rp("extractions")
+    cleaned = (r"regexp_replace(regexp_replace(name, "
+               r"'(\d+)(st|nd|rd|th)\s+day\s+of\s+', '\1 ', 'g'), ',', '', 'g')")
+    return {
+        "kg_triples":
+            f"SELECT DISTINCT s.canonical_name AS subj, "
+            f"e.relation_type AS pred, o.canonical_name AS obj "
+            f"FROM {edges} e JOIN {nodes} s ON e.src = s.id "
+            f"JOIN {nodes} o ON e.dst = o.id",
+        "kg_nodes_by_type":
+            f"SELECT type, count(*) AS n FROM {nodes} GROUP BY type",
+        "kg_degree_topk":
+            f"WITH deg AS (SELECT id, count(*) AS connections FROM "
+            f"(SELECT src AS id FROM {edges} UNION ALL SELECT dst FROM {edges}) "
+            f"GROUP BY id) "
+            f"SELECT n.canonical_name, n.type, "
+            f"coalesce(d.connections, 0) AS connections "
+            f"FROM {nodes} n LEFT JOIN deg d ON n.id = d.id "
+            f"ORDER BY connections DESC, canonical_name LIMIT 10",
+        "kg_relation_patterns":
+            f"SELECT s.type AS src_type, e.relation_type, o.type AS dst_type, "
+            f"count(*) AS n FROM {edges} e "
+            f"JOIN {nodes} s ON e.src = s.id JOIN {nodes} o ON e.dst = o.id "
+            f"GROUP BY 1, 2, 3",
+        "kg_clusters":
+            f"WITH RECURSIVE "
+            f"sym(a, b) AS (SELECT src, dst FROM {edges} "
+            f"UNION SELECT dst, src FROM {edges}), "
+            f"reach(a, b) AS (SELECT a, b FROM sym "
+            f"UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a), "
+            f"comp AS (SELECT a AS node, least(a, min(b)) AS component "
+            f"FROM reach GROUP BY a), "
+            f"cl AS (SELECT n.id, coalesce(c.component, n.id) AS cluster "
+            f"FROM {nodes} n LEFT JOIN comp c ON n.id = c.node), "
+            f"sizes AS (SELECT cluster, count(*) AS size FROM cl GROUP BY 1) "
+            f"SELECT size, count(*) AS n_clusters FROM sizes GROUP BY size",
+        "kg_timeline":
+            f"SELECT year(coalesce("
+            f"try_strptime(cleaned, '%B %-d %Y'), "
+            f"try_strptime(cleaned, '%-m/%-d/%Y'), "
+            f"try_strptime(cleaned, '%Y-%m-%d'), "
+            f"try_strptime(cleaned, '%-d %B %Y'))) AS yr, date_type, "
+            f"count(*) AS n FROM (SELECT date_type, {cleaned} AS cleaned "
+            f"FROM {extr} WHERE kind = 'date') GROUP BY 1, 2",
+        "kg_common_neighbor":
+            f"WITH p AS (SELECT DISTINCT e1.src AS a, e2.src AS b, e1.dst AS x "
+            f"FROM {edges} e1 JOIN {edges} e2 ON e1.dst = e2.dst "
+            f"WHERE e1.src < e2.src), "
+            f"nf AS (SELECT p.* FROM p WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {edges} d WHERE (d.src = p.a AND d.dst = p.b) "
+            f"OR (d.src = p.b AND d.dst = p.a))) "
+            f"SELECT 'related_via_' || lower(n.type) AS inferred_relation, "
+            f"count(*) AS n FROM nf JOIN {nodes} n ON n.id = nf.x GROUP BY 1",
+        "kg_path_hops":
+            f"WITH RECURSIVE "
+            f"et AS MATERIALIZED (SELECT src, dst FROM {edges}), "
+            "deg AS (SELECT id, count(*) AS connections FROM "
+            "(SELECT src AS id FROM et UNION ALL SELECT dst FROM et) "
+            "GROUP BY id), "
+            "rk AS (SELECT id, row_number() OVER "
+            "(ORDER BY connections DESC, id) AS rn FROM deg), "
+            "sym AS (SELECT src AS a, dst AS b FROM et "
+            "UNION SELECT dst, src FROM et), "
+            "walk(id, hops) AS (SELECT id, 0 FROM rk WHERE rn = 1 "
+            "UNION SELECT sym.b, w.hops + 1 FROM walk w "
+            "JOIN sym ON sym.a = w.id WHERE w.hops < 6) "
+            "SELECT (SELECT id FROM rk WHERE rn = 1) AS src, "
+            "(SELECT id FROM rk WHERE rn = 2) AS dst, min(hops) AS hops "
+            "FROM walk WHERE id = (SELECT id FROM rk WHERE rn = 2) "
+            "HAVING min(hops) IS NOT NULL",
+        "kg_all_paths":
+            f"WITH et AS MATERIALIZED (SELECT src, dst FROM {edges}), "
+            "deg AS (SELECT id, count(*) AS connections FROM "
+            "(SELECT src AS id FROM et UNION ALL SELECT dst FROM et) "
+            "GROUP BY id), "
+            "rk AS (SELECT id, row_number() OVER "
+            "(ORDER BY connections DESC, id) AS rn FROM deg), "
+            "sym AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b "
+            "FROM et UNION ALL SELECT dst, src FROM et)), "
+            "s AS (SELECT id FROM rk WHERE rn = 1), "
+            "t AS (SELECT id FROM rk WHERE rn = 2), "
+            "h1 AS (SELECT 1 AS hops FROM sym "
+            "WHERE a = (SELECT id FROM s) AND b = (SELECT id FROM t)), "
+            "h2 AS (SELECT 2 AS hops FROM sym x JOIN sym y ON x.b = y.a "
+            "WHERE x.a = (SELECT id FROM s) AND y.b = (SELECT id FROM t) "
+            "AND x.b != (SELECT id FROM s) AND x.b != (SELECT id FROM t)) "
+            "SELECT hops, count(*) AS n_paths FROM "
+            "(SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY hops",
+        "kg_transitive": _kg_transitive_sql(),
+        "kg_pagerank": _kg_pagerank_sql(),
+        "kg_importance": _kg_importance_sql(),
+        "kg_bayes_resolve": _kg_bayes_sql(),
+        "corroboration": _corroboration_sql(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -622,9 +1094,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard":
             "WITH t AS (SELECT doc_id, "
             "string_split_regex(lower(text), '\\s+') AS toks FROM documents), "
-            "sh AS (SELECT DISTINCT doc_id, "
+            "sh0 AS (SELECT DISTINCT doc_id, "
             "array_to_string(toks[i + 1:i + 3], ' ') AS shingle "
             "FROM t, UNNEST(range(len(toks) - 2)) AS u(i) WHERE len(toks) >= 3), "
+            "sh AS (SELECT sh0.* FROM sh0 WHERE shingle IN "
+            "(SELECT shingle FROM sh0 GROUP BY shingle "
+            "HAVING count(*) <= 100)), "
             "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "count(*) AS inter FROM sh a JOIN sh b ON a.shingle = b.shingle "
@@ -645,6 +1120,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, cosine, row_number() OVER ("
             "PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank FROM s) "
             "WHERE rank <= 5",
+        "lsh_cosine":
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "planted AS (SELECT vec_id + 100000 AS vec_id, "
+            "list_concat([v[1] + 0.05], v[2:]) AS v FROM base "
+            "WHERE vec_id < 50), "
+            "allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted), "
+            "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+            "* sqrt(list_dot_product(b.v, b.v))) AS cosine "
+            "FROM allv a JOIN allv b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, round(cosine, 4) AS cosine FROM pairs "
+            "WHERE cosine >= 0.9",
         "g17_two_hop":
             "WITH e1 AS (SELECT DISTINCT l_suppkey AS a, l_partkey AS b "
             "FROM lineitem WHERE l_suppkey < 20), "
@@ -658,7 +1146,11 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'video' END AS kind, "
             "octet_length(encode(text)) AS n_bytes, sha256(text) AS content_hash "
             "FROM documents",
-        # kg_* queries: regex extraction, pairwise similarity scoring and
-        # iterative connected components / PageRank are not expressible in
-        # ANSI SQL — rows-only checks (documented in SURVEY.md §5 item 4).
+        # kg_* oracles run over the _kg() stage-table parquet dump — they
+        # independently verify the downstream graph analytics (CC via
+        # recursive CTE, PageRank via unrolled iteration, joins/aggs in plain
+        # SQL).  Extraction + ER are verified against the reference kernels
+        # by pytest (not SQL-expressible).  kg_betweenness stays rows-only
+        # (Brandes accumulation), with exact small-graph pytest oracles.
+        **_kg_oracles(),
     }

@@ -52,17 +52,29 @@ def main():
     timings: dict[str, float] = {}
 
     # --- headline: KG construction pipeline ---
+    # median-of-3 with side tables (the published configuration) plus one
+    # side_tables=False run: the host's ±2-3x timing noise makes any single
+    # number unreliable (BENCH_SCALING.md methodology).
     t0 = time.time()
     # localCheckpoint, not cache: cached RDD-backed plans re-run the generator
     # on some downstream branches (see memory: cache-lookup misses)
     transcripts = transcripts_df(spark, n_conv, seed=42).localCheckpoint()
     n_turns = transcripts.count()  # materialize input outside the timed span
+    gen_sec = time.time() - t0
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    runs = []
+    n_triples = n_nodes = 0
+    for _ in range(n_reps):
+        t1 = time.time()
+        result = run_pipeline(spark, transcripts)
+        n_triples = result.triples().count()
+        n_nodes = result.tables["nodes"].count()
+        runs.append(round(time.time() - t1, 3))
+    kg_sec = sorted(runs)[len(runs) // 2]
+    timings["kg_pipeline"] = kg_sec
     t1 = time.time()
-    result = run_pipeline(spark, transcripts)
-    n_triples = result.triples().count()
-    n_nodes = result.tables["nodes"].count()
-    kg_sec = time.time() - t1
-    timings["kg_pipeline"] = round(kg_sec, 3)
+    run_pipeline(spark, transcripts, side_tables=False).triples().count()
+    no_side_sec = round(time.time() - t1, 3)
 
     # --- operator suite on driver tables ---
     qs = entrymod.queries()
@@ -85,7 +97,10 @@ def main():
             "n_nodes": int(n_nodes),
             "n_triples": int(n_triples),
             "turns_per_sec": round(n_turns / kg_sec, 1),
-            "gen_sec": round(t1 - t0, 3),
+            "kg_runs_sec": runs,
+            "kg_no_side_tables_sec": no_side_sec,
+            "turns_per_sec_no_side": round(n_turns / no_side_sec, 1),
+            "gen_sec": round(gen_sec, 3),
             "cpus": cpus,
         },
     }))

@@ -312,6 +312,60 @@ def extract_structural(text: str) -> Dict[str, Any]:
 
 
 # --------------------------------------------------------------------------
+# Deterministic fact extraction (stand-in for the reference's LLM fact
+# stream, semantic_extractor.py:106 fact types; interface-compatible with
+# ExtractedFact: fact_type, text, related_entities).  The reference's facts
+# come from the LLM; this is the deterministic subset the pluggable
+# extractor contract allows — obligation ("X shall ...") and payment
+# ("X paid $N to Y") sentence patterns.
+# --------------------------------------------------------------------------
+
+# Subjects/recipients must be runs of Capitalized tokens — proper-name-shaped
+# strings the entity map can resolve; "The closing shall occur ..." is a
+# sentence, not a fact subject.
+_CAPTOKEN = r"[A-Z][\w&.,'\-]*"
+_CAPNAME = rf"{_CAPTOKEN}(?:[ ]+{_CAPTOKEN})*"
+FACT_OBLIGATION_RE = re.compile(
+    rf'({_CAPNAME})\s+shall\s+([^.\n]*)')
+FACT_OBLIG_RECIPIENT_RE = re.compile(
+    rf'\bto\s+({_CAPNAME})(?=\s+(?:no later|by|on|within)\b|[,.;\n]|$)')
+FACT_PAYMENT_RE = re.compile(
+    rf'({_CAPNAME})\s+paid\s+(\$[\d,]+(?:\.\d+)?)\s+to\s+({_CAPNAME})'
+    rf'(?=\s+(?:under|for|on|pursuant)\b|[,.;\n]|$)')
+
+
+def extract_facts(text: str) -> List[Dict[str, Any]]:
+    """Deterministic facts in document order: obligation + payment patterns.
+
+    Returns dicts ``{fact_type, text, related, span_start}``; ``related``
+    holds the subject (and recipient when the sentence names one) — the
+    strings the reference's fact rules and ``_store_facts`` resolve through
+    the entity map (extraction_pipeline.py:800-874).
+    """
+    out: List[Dict[str, Any]] = []
+    for m in FACT_PAYMENT_RE.finditer(text):
+        subj = _WS.sub(' ', m.group(1).strip()).strip(' ,.')
+        obj = _WS.sub(' ', m.group(3).strip()).strip(' ,.')
+        sentence = _WS.sub(' ', m.group(0).strip())
+        out.append({'fact_type': 'payment', 'text': sentence,
+                    'related': [subj, obj], 'span_start': m.start()})
+    for m in FACT_OBLIGATION_RE.finditer(text):
+        subj = _WS.sub(' ', m.group(1).strip()).strip(' ,.')
+        if not subj or len(subj) > 80:
+            continue
+        sentence = _WS.sub(' ', m.group(0).strip())
+        related = [subj]
+        rm = FACT_OBLIG_RECIPIENT_RE.search(m.group(2))
+        if rm:
+            rec = _WS.sub(' ', rm.group(1).strip()).strip(' ,.')
+            if rec and rec.lower() != subj.lower():
+                related.append(rec)
+        out.append({'fact_type': 'obligation', 'text': sentence,
+                    'related': related, 'span_start': m.start()})
+    return sorted(out, key=lambda f: f['span_start'])
+
+
+# --------------------------------------------------------------------------
 # Name normalization / typing / similarity (ER kernels)
 # --------------------------------------------------------------------------
 

@@ -81,8 +81,15 @@ def induced_subgraph(edges: DataFrame, selected_nodes: DataFrame) -> DataFrame:
 
 
 def n_hop_neighborhood(edges: DataFrame, start_ids: DataFrame, hops: int = 2,
-                       undirected: bool = True) -> DataFrame:
-    """Iterative frontier expansion (G7); returns (id, hop) with min hop."""
+                       undirected: bool = True,
+                       relation_types: list | None = None) -> DataFrame:
+    """Iterative frontier expansion (G7); returns (id, hop) with min hop.
+
+    ``relation_types`` restricts the frontier to those edge labels (G10,
+    nl_query.py:993-1041) — pushed into the edge scan before the first join.
+    """
+    if relation_types:
+        edges = edges.filter(F.col("relation_type").isin(*relation_types))
     sym = edges.select("src", "dst")
     if undirected:
         sym = sym.unionAll(edges.select(F.col("dst").alias("src"),
@@ -111,6 +118,86 @@ def shortest_path_length(edges: DataFrame, src_id: str, dst_id: str,
     visited = n_hop_neighborhood(edges, start, hops=max_hops)
     row = visited.filter(F.col("id") == dst_id).select(F.min("hop")).collect()[0]
     return row[0]
+
+
+def shortest_path(edges: DataFrame, src_id: str, dst_id: str,
+                  max_hops: int = 6, undirected: bool = True,
+                  relation_types: list | None = None) -> DataFrame:
+    """Shortest path WITH node-path reconstruction (G8 full semantics,
+    nl_query.py:947-991; API server.py:1226-1322).
+
+    BFS carrying the path array: each level keeps, per reached node, the
+    lexicographically-minimal path (deterministic across partitionings —
+    every min-hop path visits nodes at exactly their BFS depth, so per-level
+    visited pruning never discards a shortest path).  Returns 0 or 1 row:
+    (src, dst, hops, path array<string>).
+    """
+    spark = edges.sparkSession
+    if relation_types:
+        edges = edges.filter(F.col("relation_type").isin(*relation_types))
+    sym = edges.select("src", "dst")
+    if undirected:
+        sym = sym.unionAll(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint()
+    empty = spark.createDataFrame(
+        [], "src string, dst string, hops int, path array<string>")
+    if src_id == dst_id:
+        return spark.createDataFrame([(src_id, dst_id, 0, [src_id])],
+                                     empty.schema)
+    frontier = spark.createDataFrame(
+        [(src_id, [src_id])], "id string, path array<string>").localCheckpoint()
+    visited = frontier.select("id").localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(sym, frontier.id == sym.src)
+               .select(F.col("dst").alias("id"),
+                       F.array_append("path", F.col("dst")).alias("path"))
+               .join(visited, "id", "left_anti")
+               .groupBy("id").agg(F.min("path").alias("path"))
+               .localCheckpoint())
+        hit = nxt.filter(F.col("id") == dst_id).select("path").collect()
+        if hit:
+            return spark.createDataFrame(
+                [(src_id, dst_id, h, hit[0]["path"])], empty.schema)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt.select("id")).localCheckpoint()
+        frontier = nxt
+    return empty
+
+
+def all_paths(edges: DataFrame, src_id: str, dst_id: str,
+              max_hops: int = 4, undirected: bool = True) -> DataFrame:
+    """ALL simple paths src→dst with ≤ max_hops edges (G9 — the reference's
+    bounded DFS, nl_query.py:1043-1148) as iterative frontier joins with a
+    visited-set predicate per path (array_contains).  Returns (path, hops).
+
+    Cost is the number of simple walks ≤ max_hops from src — bound max_hops
+    (the reference caps at 4) and pick non-hub endpoints at scale.
+    """
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst")
+    if undirected:
+        sym = sym.unionAll(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint()
+    out_schema = "path array<string>, hops int"
+    frontier = spark.createDataFrame([([src_id],)], "path array<string>") \
+        .localCheckpoint()
+    found = spark.createDataFrame([], out_schema)
+    for h in range(1, max_hops + 1):
+        stepped = (frontier
+                   .join(sym, F.element_at("path", -1) == sym.src)
+                   .filter(~F.array_contains("path", F.col("dst")))
+                   .select(F.array_append("path", F.col("dst")).alias("path"))
+                   .localCheckpoint())
+        done = stepped.filter(F.element_at("path", -1) == dst_id) \
+            .select("path", F.lit(h).alias("hops"))
+        found = found.unionByName(done).localCheckpoint()
+        frontier = stepped.filter(F.element_at("path", -1) != dst_id)
+        if h < max_hops and frontier.isEmpty():
+            break
+    return found
 
 
 def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,

@@ -52,7 +52,20 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     return sh.distinct()
 
 
+def hot_shingles(docs: DataFrame, n: int = 3, max_df: int = 1000,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shingles whose document frequency exceeds ``max_df`` — the rows
+    ``ngram_jaccard_pairs(max_df=...)`` excludes from its inverted index.
+    No silent caps: append this to the run's metrics so dropped boilerplate
+    shingles are visible.
+    """
+    return (_shingles(docs, text_col, id_col, n)
+            .groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        max_df: int | None = None,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard (inverted-index join).
 
@@ -60,8 +73,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     per-doc shingle counts come from one aggregation and the intersection
     from the join's group count, so Jaccard = inter / (|a| + |b| - inter)
     without materializing shingle sets per pair.
+
+    ``max_df`` drops shingles present in more than that many documents from
+    the index (AND from the per-doc sizes, so the score stays a true Jaccard
+    over the filtered shingle space).  A single boilerplate shingle shared by
+    k documents contributes O(k²) candidate pairs to the self-join — at
+    100-TB corpus scale the df cap is what keeps the join sub-quadratic.
+    Surface the dropped shingles with :func:`hot_shingles`.
     """
-    sh = _shingles(docs, text_col, id_col, n).cache()
+    sh = _shingles(docs, text_col, id_col, n)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

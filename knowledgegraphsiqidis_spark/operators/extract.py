@@ -87,6 +87,19 @@ def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
                         "doc_type": res["document_type"],
                         "case_number": res["case_number"], "court": res["court"]})
             seq += 1
+        for fct in textops.extract_facts(doc):
+            # name = the reference's Fact canonical shape,
+            # extraction_pipeline.py:813: f"{fact_type}: {text[:50]}..."
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "fact",
+                        "name": f"{fct['fact_type']}: {fct['text'][:50]}...",
+                        "entity_type": "Fact", "er_type": "Fact",
+                        "norm_name": fct['text'],
+                        "definition": fct['text'],
+                        "fact_type": fct['fact_type'],
+                        "related": fct['related'],
+                        "turn_idx": turn_of(fct['span_start']),
+                        "span_start": fct['span_start']})
+            seq += 1
     return pd.DataFrame(out, columns=_COLS) if out else pd.DataFrame(
         {c: pd.Series(dtype=object) for c in _COLS})
 

@@ -261,8 +261,14 @@ def transitive_inference(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     two_hop = (e1.join(e2, "b")
                .filter(F.col("a") != F.col("c")))
     direct = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    two_hop = two_hop.join(direct, ["a", "c"], "left_anti") \
-        .dropDuplicates(["a", "c"])
+    # One inferred edge per (a, c); the witness path is chosen by the minimal
+    # (rel1, rel2, b) key — dropDuplicates would keep an arbitrary row and
+    # make the inferred relation label nondeterministic across partitionings.
+    w = Window.partitionBy("a", "c").orderBy("rel1", "rel2", "b",
+                                             "conf1", "conf2")
+    two_hop = (two_hop.join(direct, ["a", "c"], "left_anti")
+               .withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
 
     t = nodes.select(F.col("id"), F.col("type"))
     two_hop = (two_hop

@@ -12,7 +12,7 @@ edge-relabel join is small (distinct canonical entities) and is broadcast.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .components import connected_components
 from .resolve import entity_forms, match_edges
@@ -20,14 +20,25 @@ from .resolve import entity_forms, match_edges
 
 def canonical_map(extractions: DataFrame,
                   threshold: float = 0.8,
-                  max_block: int = 200) -> tuple[DataFrame, DataFrame]:
-    """Returns (forms_with_component, nodes).
+                  max_block: int = 200,
+                  match_fn=None) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (forms_with_component, nodes, resolution_queue).
 
     forms_with_component: er_type, name, norm_name, form_key, component
     nodes: component (= entity id), type, canonical_name, confidence, status
+    resolution_queue: None unless ``match_fn`` returns (matches, queue) —
+    e.g. ``resolve.resolve_with_queue`` for the embedding-confirmed bands.
+    The default matcher is the deterministic no-embedding band (reference
+    behavior with an empty vector store), which emits no queue.
     """
     forms = entity_forms(extractions).localCheckpoint()
-    matches = match_edges(forms, threshold=threshold, max_block=max_block)
+    queue = None
+    if match_fn is None:
+        matches = match_edges(forms, threshold=threshold,
+                              max_block=max_block)
+    else:
+        matches, queue = match_fn(forms)
+    matches = matches.localCheckpoint()
     comp = connected_components(matches)
 
     # Pin before fan-out: nodes/aliases/mentions/edge-relabel all derive from
@@ -48,33 +59,133 @@ def canonical_map(extractions: DataFrame,
         F.col("component").alias("id"), "type", "canonical_name",
         F.lit("confirmed").alias("confidence"),
         F.lit("active").alias("status"), "n_mentions"))
-    return forms_c, nodes
+    occ = (occurrence_map(extractions, forms, forms_c, nodes, matches,
+                          threshold=threshold, max_block=max_block)
+           if match_fn is None else None)
+    return forms_c, nodes, queue, occ
 
 
-def mention_component_map(extractions: DataFrame, forms_c: DataFrame,
-                          needed_names: DataFrame | None = None) -> DataFrame:
-    """(conv_id, lower(name)) → component, for relabeling conv-scoped triples.
+def occurrence_map(extractions: DataFrame, forms: DataFrame,
+                   forms_c: DataFrame, nodes: DataFrame, matches: DataFrame,
+                   threshold: float = 0.8, max_block: int = 200) -> DataFrame:
+    """Per-conversation component assignment for always-merging forms —
+    the reference RE-RESOLVES every conversation's mention of a surface form
+    against the store AS IT EXISTS THEN (extraction_pipeline.py:615-733), so
+    a form like a bare last-name term can map to different clusters in
+    different conversations once a better-scoring candidate has been stored
+    (candidates score against cluster canonicals, which never change, so
+    only the candidate SET is time-varying).
 
-    When a party and a term share a name within one conversation the
-    reference's ``entity_map`` keeps the later insertion
-    (extraction_pipeline.py:621-731 dict overwrite) — replicated with
-    max_by(seq).
+    Spark shape: an AS-OF argmax — for each (conversation, form) first
+    occurrence, the winning candidate cluster among those with a
+    containment-discovery member stored before the occurrence.  Candidate
+    generation here is time-direction-free (resolve.containment_candidates):
+    a cluster first stored AFTER the form's own first occurrence can win
+    later conversations.  Only forms that merged at their first occurrence
+    (key_b of an accepted match edge) re-resolve; a form that once became
+    its own entity exact-matches itself (score 1.0) forever.
 
-    ``needed_names`` (a DataFrame with one ``name_l`` column, e.g. the
-    distinct triple endpoint names) is broadcast as a semi-join pre-filter:
-    triples reference only a few distinct names, so the groupBy over the full
-    mention stream would otherwise shuffle mostly-unused rows.
+    Returns (conv_id, er_type, name, component) override rows;
+    resolve_names coalesces them over the global form component.
+    """
+    from .resolve import _pair_score, containment_candidates
+
+    merged_keys = matches.select(F.col("key_b").alias("form_key")).distinct()
+    queries = forms.join(merged_keys, "form_key", "left_semi")
+    cand = containment_candidates(forms, queries, max_block=max_block)
+
+    compmap = forms_c.select(F.col("form_key").alias("m_key"),
+                             F.col("component").alias("comp"))
+    canon = nodes.select(F.col("id").alias("comp"),
+                         F.col("canonical_name").alias("canon_name"))
+    scored = (cand.join(compmap, "m_key").join(canon, "comp")
+              # cluster availability = earliest containment-discovery member
+              .groupBy(F.col("q_key"), F.col("q_name"), F.col("q_etype"),
+                       F.col("comp"), F.col("canon_name"))
+              .agg(F.min("m_key").alias("avail_key"))
+              .withColumn("score",
+                          _pair_score("canon_name", "q_name", "q_etype"))
+              .filter(F.col("score") >= threshold)
+              .localCheckpoint())
+
+    occ = (extractions
+           .filter(F.col("kind").isin("party", "term", "doc"))
+           .withColumn("occ_key",
+                       F.concat_ws("#", "conv_id",
+                                   F.format_string("%06d", "seq")))
+           .groupBy("conv_id", "er_type", "name")
+           .agg(F.min("occ_key").alias("occ_key")))
+    occ = occ.join(forms.select("er_type", "name",
+                                F.col("form_key").alias("q_key")),
+                   ["er_type", "name"])
+    j = (occ.join(scored, "q_key")
+         .filter(F.col("avail_key") < F.col("occ_key")))
+    w = Window.partitionBy("conv_id", "q_key").orderBy(F.desc("score"),
+                                                       F.asc("comp"))
+    return (j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("conv_id", "er_type", "name",
+                    F.col("comp").alias("component")))
+
+
+def resolve_names(targets: DataFrame, extractions: DataFrame,
+                  forms_c: DataFrame,
+                  occ_map: DataFrame | None = None) -> DataFrame:
+    """Resolve (conv_id, name_l) targets to entity components through the
+    reference's ``_find_entity_by_name`` tiers (extraction_pipeline.py:
+    852-874):
+
+      1/2. exact + case-insensitive entity-map hit — lower(name) equality;
+           when a party and a term share a name within one conversation the
+           reference's dict overwrite keeps the LATER insertion
+           (extraction_pipeline.py:621-731) → max_by(seq).
+      3.   partial containment over the same conversation's entity map,
+           FIRST insertion wins (items() iteration order) → min_by(seq).
+      4.   global store LIKE search — NOT ported: it is a cross-conversation
+           scan of every canonical name and alias, and it never fires when
+           triple endpoints and fact subjects are conversation-local (which
+           the deterministic extractor guarantees).  Documented divergence.
+
+    All joins are conv_id-co-partitioned: tier 3's containment predicate
+    runs only on the (small) per-conversation target × mention sets that
+    tier 1 left unresolved.
     """
     m = (extractions.filter(F.col("kind").isin("party", "term", "doc"))
-         .select("conv_id", "seq", "name", "er_type",
-                 F.lower("name").alias("name_l")))
-    if needed_names is not None:
-        m = m.join(F.broadcast(needed_names.select("name_l").distinct()),
-                   "name_l", "left_semi")
+         .select(F.col("conv_id").alias("m_conv"), "seq", "name", "er_type",
+                 F.lower("name").alias("m_name_l")))
     m = m.join(forms_c.select("er_type", "name", "component"),
                ["er_type", "name"])
-    return (m.groupBy("conv_id", "name_l")
-            .agg(F.max_by("component", "seq").alias("component")))
+    if occ_map is not None:
+        # per-conversation re-resolution overrides the global form component
+        # (occurrence_map docstring) for always-merging forms
+        o = occ_map.select(F.col("conv_id").alias("m_conv"), "er_type",
+                           "name", F.col("component").alias("occ_component"))
+        m = (m.join(o, ["m_conv", "er_type", "name"], "left")
+             .withColumn("component",
+                         F.coalesce("occ_component", "component"))
+             .drop("occ_component"))
+    m = m.localCheckpoint()
+    t = targets.select("conv_id", "name_l").distinct()
+
+    exact = (m.join(t, (m.m_conv == t.conv_id) & (m.m_name_l == t.name_l))
+             .groupBy("conv_id", "name_l")
+             .agg(F.max_by("component", "seq").alias("component")))
+
+    unresolved = t.join(exact.select("conv_id", "name_l"),
+                        ["conv_id", "name_l"], "left_anti")
+    # Tier 3 replicates dict semantics exactly: entity_map keys iterate in
+    # FIRST-insertion order (min seq per raw name) but carry the LATEST
+    # overwrite's value (max_by component, seq) — hence the two-level agg.
+    keyed = (m.groupBy("m_conv", "name", "m_name_l")
+             .agg(F.min("seq").alias("first_seq"),
+                  F.max_by("component", "seq").alias("component")))
+    partial = (unresolved
+               .join(keyed, (keyed.m_conv == F.col("conv_id"))
+                     & (F.col("name_l").contains(keyed.m_name_l)
+                        | keyed.m_name_l.contains(F.col("name_l"))))
+               .groupBy("conv_id", "name_l")
+               .agg(F.min_by("component", "first_seq").alias("component")))
+    return exact.unionByName(partial)
 
 
 def materialize_edges(raw_triples: DataFrame, mention_map: DataFrame) -> DataFrame:
@@ -102,6 +213,46 @@ def materialize_edges(raw_triples: DataFrame, mention_map: DataFrame) -> DataFra
                           F.array(F.col("inferred").cast("string"))).alias("properties"),
         F.lit("extracted").alias("confidence"),
         F.col("conv_id").alias("provenance_doc_id")))
+
+
+def _fact_id():
+    return F.sha2(F.concat_ws("|", F.lit("fact"), F.col("conv_id"),
+                              F.col("seq").cast("string")), 256)
+
+
+def fact_nodes(extractions: DataFrame) -> DataFrame:
+    """Fact entities (G21, extraction_pipeline.py:800-824): one node per
+    extracted fact; canonical name = ``{fact_type}: {text[:50]}...`` (built
+    in the extraction kernel).  Facts never enter ER — the reference creates
+    them directly with uuid ids."""
+    return (extractions.filter(F.col("kind") == "fact")
+            .select(_fact_id().alias("id"),
+                    F.lit("Fact").alias("type"),
+                    F.col("name").alias("canonical_name"),
+                    F.lit("extracted").alias("confidence"),
+                    F.lit("active").alias("status"),
+                    F.lit(1).cast("long").alias("n_mentions")))
+
+
+def fact_about_edges(extractions: DataFrame, mention_map: DataFrame) -> DataFrame:
+    """fact → related-entity ``about`` edges (extraction_pipeline.py:825-845)
+    through the tiered name resolution; unresolvable related names drop the
+    edge (reference: entity_id None → skip), never the fact node."""
+    f = (extractions.filter(F.col("kind") == "fact")
+         .select("conv_id", "seq", _fact_id().alias("fact_id"),
+                 F.posexplode("related").alias("pos", "rel_name")))
+    j = (f.withColumn("name_l", F.lower("rel_name"))
+         .join(mention_map, ["conv_id", "name_l"]))
+    return j.select(
+        F.sha2(F.concat_ws("|", "conv_id", F.col("seq").cast("string"),
+                           F.col("pos").cast("string"), F.lit("about")),
+               256).alias("id"),
+        F.col("fact_id").alias("src"),
+        F.col("component").alias("dst"),
+        F.lit("about").alias("relation_type"),
+        F.expr("map()").cast("map<string,string>").alias("properties"),
+        F.lit("extracted").alias("confidence"),
+        F.col("conv_id").alias("provenance_doc_id"))
 
 
 def triples_view(edges: DataFrame, nodes: DataFrame) -> DataFrame:

@@ -151,6 +151,30 @@ def query(question: str, nodes: DataFrame, edges: DataFrame,
     return execute_query(interpret_query(question), nodes, edges, extractions)
 
 
+# N11 — canned query templates (server.py:1327-1378): the reference ships 10
+# fixed lawyer questions routed through the same query engine; each maps to a
+# deterministic dispatch here.
+QUERY_TEMPLATES = {
+    "parties": "Who are the main parties involved in this case?",
+    "claims": "What claims or allegations are being made in this case?",
+    "damages": "What damages or monetary relief is being sought?",
+    "timeline": "What is the timeline of key events in this case?",
+    "experts": "Who are the expert witnesses and what are their opinions?",
+    "contracts": "What contracts or agreements are at issue?",
+    "witnesses": "Who are the key witnesses in this case?",
+    "evidence": "What are the key pieces of evidence in this case?",
+    "relationships": "How are the parties related to each other?",
+    "obligations": "What are the key contractual obligations at issue?",
+}
+
+
+def canned_query(key: str, nodes: DataFrame, edges: DataFrame,
+                 extractions: DataFrame | None = None) -> DataFrame:
+    """Run one of the reference's canned templates (N11) through the
+    deterministic router + executor."""
+    return query(QUERY_TEMPLATES[key], nodes, edges, extractions)
+
+
 def entity_summary(entity_id: str, nodes: DataFrame, edges: DataFrame,
                    aliases: DataFrame) -> str:
     """Markdown entity card (N8, nl_query.py:1384-1431 shape)."""

@@ -47,6 +47,18 @@ def _pair_score(name_a: pd.Series, name_b: pd.Series, etype: pd.Series) -> pd.Se
                       for a, b, t in zip(name_a, name_b, etype)], dtype="float64")
 
 
+@F.pandas_udf(T.DoubleType())
+def _pair_emb_cosine(text_a: pd.Series, text_b: pd.Series) -> pd.Series:
+    from ..functions.embedding import batch_pair_cosine
+    return batch_pair_cosine(text_a, text_b)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def _embed_udf(text: pd.Series) -> pd.Series:
+    from ..functions.embedding import batch_embed
+    return batch_embed(text)
+
+
 def entity_forms(extractions: DataFrame) -> DataFrame:
     """Distinct (er_type, name) surface forms with deterministic form keys.
 
@@ -66,6 +78,52 @@ def entity_forms(extractions: DataFrame) -> DataFrame:
 _STOP_BLOCKS = ("and", "the", "of", "for", "to", "in", "on", "by", "or")
 
 
+def _block_keys(forms: DataFrame, max_block: int) -> DataFrame:
+    """Word-token blocking keys over raw + normalized lowered names, with
+    hot blocks capped at the ``max_block`` earliest forms (mirroring the
+    reference's LIMIT-10 candidate truncation rather than letting a hot
+    surface form blow up the self-join)."""
+    lowname, lownorm = F.lower("name"), F.lower("norm_name")
+    keyed = (forms
+             .select("name", "norm_name", "er_type", "form_key",
+                     F.explode(F.array_distinct(F.concat(
+                         F.array(lownorm),
+                         F.split(lownorm, r"\s+"),
+                         F.split(lowname, r"\s+")))).alias("block")))
+    keyed = keyed.filter((F.length("block") > 1)
+                         & ~F.col("block").isin(*_STOP_BLOCKS))
+    w = Window.partitionBy("block").orderBy("form_key")
+    return (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_block).drop("_rn"))
+
+
+def containment_candidates(forms: DataFrame, queries: DataFrame,
+                           max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
+    """(query, member) pairs where the MEMBER's stored name contains the
+    query's raw or normalized lowered name — time-direction-free, unlike
+    ``candidate_pairs``'s earlier→later restriction.  Feeds the
+    per-conversation occurrence re-resolution (materialize.occurrence_map),
+    where a candidate cluster stored AFTER the query form's first occurrence
+    can win later conversations' resolutions.
+
+    Returns (q_key, q_name, q_etype, m_key).
+    """
+    members = _block_keys(forms, max_block).select(
+        F.col("name").alias("m_name"), F.col("form_key").alias("m_key"),
+        "block")
+    qs = _block_keys(queries, max_block).select(
+        F.col("name").alias("q_name"), F.col("norm_name").alias("q_norm"),
+        F.col("er_type").alias("q_etype"), F.col("form_key").alias("q_key"),
+        "block")
+    lm, lq, lqn = F.lower("m_name"), F.lower("q_name"), F.lower("q_norm")
+    return (qs.join(members, ["block"])
+            .filter(F.col("m_key") != F.col("q_key"))
+            .drop("block")
+            .dropDuplicates(["q_key", "m_key"])
+            .filter(lm.contains(lq) | lm.contains(lqn))
+            .select("q_key", "q_name", "q_etype", "m_key"))
+
+
 def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
     """Blocked self-join → scored candidate match pairs (form_key_a < form_key_b).
 
@@ -77,22 +135,7 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> Dat
     always shares a distinctive word; pure-stopword keys are dropped — any
     pair they alone would generate cannot pass the containment filter).
     """
-    lowname, lownorm = F.lower("name"), F.lower("norm_name")
-    keyed = (forms
-             .select("name", "norm_name", "er_type", "form_key",
-                     F.explode(F.array_distinct(F.concat(
-                         F.array(lownorm),
-                         F.split(lownorm, r"\s+"),
-                         F.split(lowname, r"\s+")))).alias("block")))
-    keyed = keyed.filter((F.length("block") > 1)
-                         & ~F.col("block").isin(*_STOP_BLOCKS))
-
-    # Cap hot blocks: keep the max_block earliest forms per block, mirroring
-    # the reference's LIMIT-10 candidate truncation rather than letting a hot
-    # surface form blow up the self-join.
-    w = Window.partitionBy("block").orderBy("form_key")
-    keyed = (keyed.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") <= max_block).drop("_rn"))
+    keyed = _block_keys(forms, max_block)
 
     a = keyed.select(F.col("name").alias("name_a"),
                      F.col("form_key").alias("key_a"), "block")
@@ -133,7 +176,9 @@ def blocked_overflow(forms: DataFrame,
 
 def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                 max_block: int = DEFAULT_MAX_BLOCK,
-                canonical_rounds: int = 3) -> DataFrame:
+                canonical_rounds: int = 3,
+                emb_confirm: float | None = None,
+                return_queue: bool = False):
     """Accepted match pairs (key_a, key_b) for connected components.
 
     Two reference-resolver behaviors are replicated
@@ -154,19 +199,43 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
        validated type, re-argmax with the ≥ threshold cut, repeat until the
        edge set is stable (2-3 rounds in practice; round 0 = every form its
        own canonical, i.e. the plain pair scores).
+
+    When ``emb_confirm`` is set, the reference's THREE-band semantics are
+    applied (extraction_pipeline.py:646-691): score ≥ 0.9 merges outright;
+    0.8–0.9 merges only if the (pluggable, default char-trigram hash)
+    embedding cosine between the cluster canonical and the incoming form
+    reaches ``emb_confirm``, otherwise the form is QUEUED for review and
+    kept as its own entity.  ``return_queue=True`` additionally returns the
+    queue DataFrame (form_key, surface_text, reason, candidates, status) —
+    the Spark shape of the reference's ``resolution_queue`` table
+    (database.py:517-530).
     """
     pairs = candidate_pairs(forms, max_block).localCheckpoint()
 
-    def best_edges(scored: DataFrame) -> DataFrame:
+    def best_candidates(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("key_b").orderBy(F.desc("score"),
                                                 F.asc("canon_key"))
         return (scored.filter(F.col("score") >= threshold)
                 .withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") == 1)
+                .filter(F.col("_rk") == 1))
+
+    def accept(winners: DataFrame) -> DataFrame:
+        if emb_confirm is None:
+            return winners.select(F.col("canon_key").alias("key_a"), "key_b")
+        confirmed = winners.withColumn(
+            "emb_cos",
+            F.when(F.col("score") >= 0.9, F.lit(1.0))
+            .otherwise(_pair_emb_cosine("canon_name", "name_b")))
+        return (confirmed
+                .filter((F.col("score") >= 0.9)
+                        | (F.col("emb_cos") >= emb_confirm))
                 .select(F.col("canon_key").alias("key_a"), "key_b"))
 
     # round 0: canonical(a) = a itself
-    edges = best_edges(pairs.withColumn("canon_key", F.col("key_a")))
+    winners = best_candidates(pairs
+                              .withColumn("canon_key", F.col("key_a"))
+                              .withColumn("canon_name", F.col("name_a")))
+    edges = accept(winners)
     prev_sig = None
     for _ in range(canonical_rounds):
         edges = edges.localCheckpoint()
@@ -194,8 +263,107 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                                        F.col("score"))
                                 .otherwise(_pair_score("canon_name", "name_b",
                                                        "etype_b"))))
-        edges = best_edges(rescored)
-    return edges.select("key_a", "key_b")
+        winners = best_candidates(rescored)
+        edges = accept(winners)
+    edges = edges.select("key_a", "key_b")
+    if not return_queue:
+        return edges
+    confirm = emb_confirm if emb_confirm is not None else 0.0
+    queue = (winners
+             .withColumn("emb_cos", _pair_emb_cosine("canon_name", "name_b"))
+             .filter((F.col("score") < 0.9) & (F.col("emb_cos") < confirm))
+             .select(F.col("key_b").alias("form_key"),
+                     F.col("name_b").alias("surface_text"),
+                     F.lit("ambiguous_band_unconfirmed").alias("reason"),
+                     F.array(F.struct(
+                         F.col("canon_key").alias("candidate_key"),
+                         F.round("score", 4).alias("score"))).alias("candidates"),
+                     F.lit("pending").alias("status")))
+    return edges, queue
+
+
+def knn_fallback_edges(forms: DataFrame, resolved_keys: DataFrame,
+                       knn_threshold: float = 0.7, dim: int = 64,
+                       queue_floor: float = 0.5):
+    """Embedding-kNN candidate source for forms with NO name-based match —
+    the reference's vector-store fallback (extraction_pipeline.py:695-727):
+    candidates above RESOLUTION_CONFIDENCE_THRESHOLD (0.7, config.py:68) with
+    matching type merge when name similarity > 0.6 or cosine > 0.85; failing
+    that, candidates above 0.5 queue the form for review.
+
+    Spark shape: banded cosine LSH over the form embeddings replaces the
+    FAISS scan — the candidate join is bucket-equi, never all-pairs.
+    Returns (edges, queue).
+    """
+    from .similarity import lsh_cosine_pairs
+    emb = forms.select(
+        "form_key", "name", "er_type",
+        _embed_udf(F.concat_ws(" ", "name", "er_type")).alias("embedding"))
+    cand = lsh_cosine_pairs(emb, dim=dim, n_planes=16, bands=4,
+                            threshold=queue_floor, id_col="form_key",
+                            vec_col="embedding")
+    # id_a < id_b = earlier stored form ↔ later incoming form
+    fa = forms.select(F.col("form_key").alias("id_a"),
+                      F.col("name").alias("name_a"),
+                      F.col("er_type").alias("type_a"))
+    fb = forms.select(F.col("form_key").alias("id_b"),
+                      F.col("name").alias("name_b"),
+                      F.col("er_type").alias("type_b"))
+    scored = (cand
+              .join(resolved_keys.withColumnRenamed("key_b", "id_b"),
+                    "id_b", "left_anti")
+              .join(fa, "id_a").join(fb, "id_b")
+              .withColumn("name_score",
+                          _pair_score("name_a", "name_b", "type_b")))
+    ok = ((F.col("cosine") > knn_threshold)
+          & (F.col("type_a") == F.col("type_b"))
+          & ((F.col("name_score") > 0.6) | (F.col("cosine") > 0.85)))
+    w = Window.partitionBy("id_b").orderBy(F.desc("cosine"), F.asc("id_a"))
+    best = (scored.filter(ok)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1))
+    edges = best.select(F.col("id_a").alias("key_a"),
+                        F.col("id_b").alias("key_b"))
+    queue = (scored
+             .join(edges.select(F.col("key_b").alias("id_b")),
+                   "id_b", "left_anti")
+             .filter(F.col("cosine") > queue_floor)
+             .withColumn("_rk", F.row_number().over(w))
+             .filter(F.col("_rk") <= 3)
+             .groupBy(F.col("id_b").alias("form_key"),
+                      F.col("name_b").alias("surface_text"))
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 F.col("id_a").alias("candidate_key"),
+                 F.round("cosine", 4).alias("score")))).alias("candidates"))
+             .select("form_key", "surface_text",
+                     F.lit("knn_unconfirmed").alias("reason"), "candidates",
+                     F.lit("pending").alias("status")))
+    return edges, queue
+
+
+def resolve_with_queue(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
+                       max_block: int = DEFAULT_MAX_BLOCK,
+                       emb_confirm: float = 0.6,
+                       knn_threshold: float = 0.7):
+    """Full three-band resolution with the embedding confirmer enabled:
+    name-band merges (≥0.9, and 0.8-0.9 embedding-confirmed), kNN-fallback
+    merges, and the resolution queue for everything ambiguous.  Returns
+    (match_edges, queue).  The default pipeline keeps the no-embedding
+    deterministic behavior (reference behavior with an empty vector store);
+    this entry point is the with-embeddings analogue.
+    """
+    name_edges, name_queue = match_edges(
+        forms, threshold=threshold, max_block=max_block,
+        emb_confirm=emb_confirm, return_queue=True)
+    # Forms already merged or queued by the name band never reach the kNN
+    # fallback (the reference queues + creates the entity and moves on).
+    resolved = (name_edges.select("key_b")
+                .unionByName(name_queue.select(F.col("form_key")
+                                               .alias("key_b"))))
+    knn_edges, knn_queue = knn_fallback_edges(
+        forms, resolved, knn_threshold=knn_threshold)
+    return (name_edges.unionByName(knn_edges),
+            name_queue.unionByName(knn_queue))
 
 
 def _forest_roots(edges: DataFrame, max_doubling: int = 5) -> DataFrame:

@@ -45,35 +45,54 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cosine", 4).alias("cosine")))
 
 
-def _hyperplane_signs(vec_col, dim: int, n_planes: int):
-    """Sign bits against n_planes pseudo-random hyperplanes.
-
-    Plane p's component d = xxhash64(p, d) scaled to [-1, 1] — deterministic,
-    identical on every executor, no driver-side randomness.
+def _plane_table(spark, dim: int, n_planes: int, bands: int, seed: int = 7):
+    """Hyperplane normals as a tiny broadcastable DataFrame
+    (plane, band, pvec) — deterministic (seeded numpy), generated once on the
+    driver.  Replaces the earlier per-dimension-literal construction, whose
+    dim × n_planes Catalyst expressions dominated compile time at 768 dims.
     """
-    bits = []
-    for p in range(n_planes):
-        comp = F.aggregate(
-            F.zip_with(vec_col,
-                       F.array(*[(F.xxhash64(F.lit(p), F.lit(d)) % 10007)
-                                 .cast("double") / 10007.0 for d in range(dim)]),
-                       lambda x, h: x * (h * 2 - 1)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        bits.append(F.when(comp >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.concat_ws("", *[b.cast("string") for b in bits])
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    rows = [(p, p % bands, rng.standard_normal(dim).tolist())
+            for p in range(n_planes)]
+    return spark.createDataFrame(
+        rows, "plane int, band int, pvec array<double>")
 
 
-def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 8,
-                     threshold: float = 0.8, id_col: str = "vec_id",
+def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
+                     bands: int = 4, threshold: float = 0.8,
+                     id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """Near-neighbor pairs via random-hyperplane LSH buckets + exact verify."""
-    base = embeddings.select(F.col(id_col).alias("id"),
-                             F.col(vec_col).cast("array<double>").alias("v"))
-    bucketed = base.withColumn("bucket", _hyperplane_signs(F.col("v"), dim, n_planes))
-    a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    return (a.join(b, "bucket")
+    """Near-neighbor pairs via banded random-hyperplane LSH + exact verify.
+
+    OR-amplification across ``bands`` bands of ``n_planes/bands`` planes:
+    vectors colliding on ANY full band become candidates (single-band LSH has
+    a recall cliff near the threshold), then candidates are verified with the
+    exact cosine.  The sign computation is one broadcast join against the
+    plane table + one zip_with dot product per (vector, plane) row — all
+    JVM-side, plan size independent of the embedding dimension.
+    """
+    spark = embeddings.sparkSession
+    base = (embeddings.select(F.col(id_col).alias("id"),
+                              F.col(vec_col).cast("array<double>").alias("v"))
+            .localCheckpoint())
+    planes = _plane_table(spark, dim, n_planes, bands)
+    signs = (base.crossJoin(F.broadcast(planes))
+             .select("id", "band", "plane",
+                     F.when(_dot(F.col("v"), F.col("pvec")) >= 0, F.lit(1))
+                     .otherwise(F.lit(0)).alias("bit")))
+    buckets = (signs.groupBy("id", "band")
+               .agg(F.concat_ws("", F.transform(
+                   F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                   lambda s: s["bit"].cast("string"))).alias("bucket")))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b"))
                         / (_norm(F.col("v_a")) * _norm(F.col("v_b"))))
             .filter(F.col("cosine") >= threshold)

@@ -20,10 +20,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..catalog import ParquetCatalog, resolve_catalog
 from ..operators import extract, infer, materialize
 
 STAGES = ("extractions", "raw_triples", "nodes", "edges", "forms",
-          "aliases", "mentions")
+          "aliases", "mentions", "resolution_queue")
 
 
 @dataclass
@@ -54,15 +55,33 @@ def _done(path: str) -> bool:
 class KGPipeline:
     def __init__(self, spark: SparkSession, out_dir: str | None = None,
                  threshold: float = 0.8, max_block: int = 200,
-                 lineage: bool = True):
+                 lineage: bool = True, with_queue: bool = False):
+        """with_queue=True switches ER to the embedding-confirmed three-band
+        resolver (resolve.resolve_with_queue): 0.8-0.9 matches need the
+        embedding confirm, unconfirmed/ambiguous forms land in a
+        ``resolution_queue`` stage table, and the kNN fallback band is
+        active.  Default False = the reference's empty-vector-store
+        deterministic behavior (what the parity suite verifies)."""
         self.spark = spark
         self.out_dir = out_dir
         self.threshold = threshold
         self.max_block = max_block
         self.lineage = lineage and out_dir is not None
+        self.with_queue = with_queue
+        # Iceberg catalog when the session has one configured (K1); the
+        # parquet directory layout otherwise — one switch point, same
+        # pipeline code under both (catalog.py).
+        self.catalog = (resolve_catalog(spark, out_dir)
+                        if out_dir is not None else None)
+        self._parquet = isinstance(self.catalog, ParquetCatalog)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
+
+    def _stage_done(self, stage: str) -> bool:
+        if self._parquet:
+            return _done(self._path(stage))
+        return self.catalog.exists(stage)
 
     def _checkpoint(self, build, stage: str,
                     conv_col: str | None = "conv_id") -> DataFrame:
@@ -86,22 +105,27 @@ class KGPipeline:
                 print(f"[kg-timing] {stage}: {time.time() - t0:.1f}s",
                       file=sys.stderr, flush=True)
             return out
-        path = self._path(stage)
-        if not _done(path):
+        if not self._stage_done(stage):
             out = build()
-            out.write.mode("overwrite").parquet(path)
+            self.catalog.write(out, stage)
             if self.lineage and conv_col and conv_col in out.columns:
-                # Lineage lands in a per-stage partition dir with OVERWRITE
+                # Lineage lands in a per-stage location with OVERWRITE
                 # semantics, BEFORE the stage's done-marker: a crash anywhere
                 # in between reruns the whole stage idempotently (both writes
                 # overwrite), so lineage can neither go missing nor duplicate.
-                persisted = self.spark.read.parquet(path)
-                (materialize.lineage_for(persisted, stage, conv_col)
-                 .drop("stage")  # carried by the partition directory
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(self.out_dir, "lineage", f"stage={stage}")))
-            open(os.path.join(path, _DONE_MARKER), "w").close()
-        return self.spark.read.parquet(path)
+                persisted = self.catalog.read(self.spark, stage)
+                lin = materialize.lineage_for(persisted, stage, conv_col)
+                if self._parquet:
+                    (lin.drop("stage")  # carried by the partition directory
+                     .write.mode("overwrite")
+                     .parquet(os.path.join(self.out_dir, "lineage",
+                                           f"stage={stage}")))
+                else:
+                    self.catalog.write(lin, f"lineage_{stage}")
+            if self._parquet:
+                open(os.path.join(self._path(stage), _DONE_MARKER),
+                     "w").close()
+        return self.catalog.read(self.spark, stage)
 
     def run(self, transcripts: DataFrame,
             side_tables: bool = True) -> PipelineResult:
@@ -119,29 +143,76 @@ class KGPipeline:
         ext = ext.coalesce(self.spark.sparkContext.defaultParallelism)
         r.tables["extractions"] = ext
 
-        # raw_triples feeds the edge relabel join AND the needed-names
-        # broadcast filter, so it is pinned (tiny table, two consumers).
-        raw = self._checkpoint(infer.infer_stage(ext), "raw_triples")
+        # raw_triples feeds the edge relabel join AND the resolution-target
+        # set, so it is pinned (tiny table, two consumers).  Rule inference
+        # and fact-derived edges (G4 + G21 rules) share the stage.
+        facts_in = (ext.filter(F.col("kind") == "fact")
+                    .select("conv_id", "fact_type",
+                            F.col("definition").alias("text"),
+                            F.col("related").alias("related_entities")))
+        raw = self._checkpoint(
+            lambda: infer.infer_stage(ext).unionByName(
+                infer.infer_facts_stage(ext, facts_in)),
+            "raw_triples")
         r.tables["raw_triples"] = raw
 
-        if (self.out_dir is not None and _done(self._path("forms"))
-                and _done(self._path("nodes"))):
-            forms_c = self.spark.read.parquet(self._path("forms"))
-            nodes = self.spark.read.parquet(self._path("nodes"))
+        occ_map = None
+        if (self.out_dir is not None and self._stage_done("forms")
+                and self._stage_done("nodes")
+                and (self.with_queue or self._stage_done("occurrences"))
+                and (not self.with_queue
+                     or self._stage_done("resolution_queue"))):
+            forms_c = self.catalog.read(self.spark, "forms")
+            nodes = self.catalog.read(self.spark, "nodes")
+            if self.with_queue:
+                r.tables["resolution_queue"] = self.catalog.read(
+                    self.spark, "resolution_queue")
+            else:
+                occ_map = self.catalog.read(self.spark, "occurrences")
         else:
-            forms_c, nodes = materialize.canonical_map(
-                ext, threshold=self.threshold, max_block=self.max_block)
+            match_fn = None
+            if self.with_queue:
+                from ..operators.resolve import resolve_with_queue
+                match_fn = lambda forms: resolve_with_queue(  # noqa: E731
+                    forms, threshold=self.threshold, max_block=self.max_block)
+            forms_c, nodes, queue, occ_map = materialize.canonical_map(
+                ext, threshold=self.threshold, max_block=self.max_block,
+                match_fn=match_fn)
+            # Fact entities join the node table directly (no ER — reference
+            # creates them with fresh uuids, extraction_pipeline.py:800-824)
+            nodes = nodes.unionByName(materialize.fact_nodes(ext))
             forms_c = self._checkpoint(forms_c, "forms", conv_col=None)
             nodes = self._checkpoint(nodes, "nodes", conv_col=None)
+            if occ_map is not None:
+                occ_map = self._checkpoint(occ_map, "occurrences")
+            if queue is not None:
+                r.tables["resolution_queue"] = self._checkpoint(
+                    queue, "resolution_queue", conv_col=None)
         r.tables["forms"] = forms_c
         r.tables["nodes"] = nodes
 
-        needed = raw.select(F.lower("subj").alias("name_l")).unionAll(
-            raw.select(F.lower("obj").alias("name_l")))
-        mention_map = materialize.mention_component_map(ext, forms_c, needed)
-        edges = self._checkpoint(
-            materialize.materialize_edges(raw, mention_map), "edges",
-            conv_col="provenance_doc_id")
+        # Names the relabel joins must resolve: triple endpoints + fact
+        # related-entity names, resolved per conversation through the
+        # reference's lookup tiers (exact → partial containment).
+        targets = (raw.select("conv_id", F.lower("subj").alias("name_l"))
+                   .unionAll(raw.select("conv_id",
+                                        F.lower("obj").alias("name_l")))
+                   .unionAll(ext.filter(F.col("kind") == "fact")
+                             .select("conv_id",
+                                     F.explode("related").alias("rel"))
+                             .select("conv_id",
+                                     F.lower("rel").alias("name_l"))))
+        def build_edges():
+            # two consumers of the resolved map → pin it (thunk: resume
+            # skips the whole resolution when the edges stage exists)
+            mention_map = materialize.resolve_names(
+                targets, ext, forms_c, occ_map=occ_map).localCheckpoint()
+            return (materialize.materialize_edges(raw, mention_map)
+                    .unionByName(materialize.fact_about_edges(ext,
+                                                              mention_map)))
+
+        edges = self._checkpoint(build_edges, "edges",
+                                 conv_col="provenance_doc_id")
         r.tables["edges"] = edges
 
         if side_tables:

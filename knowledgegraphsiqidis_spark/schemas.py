@@ -37,6 +37,11 @@ EXTRACTIONS = T.StructType([
     T.StructField("doc_type", T.StringType()),
     T.StructField("case_number", T.StringType()),
     T.StructField("court", T.StringType()),
+    # kind == "fact" rows (deterministic fact extraction, F kinds):
+    # fact_type ∈ {obligation, payment, ...}; definition carries the fact
+    # sentence; related = the entity names _store_facts links `about` edges to
+    T.StructField("fact_type", T.StringType()),
+    T.StructField("related", T.ArrayType(T.StringType())),
 ])
 
 RAW_TRIPLES = T.StructType([

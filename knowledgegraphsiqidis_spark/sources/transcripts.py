@@ -50,9 +50,13 @@ _COURTS = [
 _DOC_TYPE_OPENERS = [
     "This Statement of Claim is submitted for arbitration.",
     "Plaintiff hereby alleges the following causes of action.",
-    "This Agreement sets out the terms and conditions between the parties.",
+    # NOTE: must not contain "between" — the reference's party-section regex
+    # (structural_extractor.py PARTY_SECTION_PATTERNS, IGNORECASE) would
+    # match "between the parties." as the caption region and blind the party
+    # extractor for the whole conversation.
+    "This Agreement sets out the terms and conditions for the parties.",
     "Deposition of the witness, taken before a certified reporter.",
-    "This Settlement Agreement resolves all disputes between the parties.",
+    "This Settlement Agreement resolves all disputes among the parties.",
     "Motion to compel production of documents.",
 ]
 
@@ -109,7 +113,7 @@ def _conversation_turns(conv_i: int, n_turns: int, rng: np.random.RandomState) -
     ]
 
     for t in range(1, n_turns):
-        kind = rng.randint(8)
+        kind = rng.randint(10)
         if kind == 0:
             term = ["Aircraft", "Agreement", "Closing Date", "Purchase Price",
                     "Deliverables", "Effective Period"][rng.randint(6)]
@@ -147,6 +151,20 @@ def _conversation_turns(conv_i: int, n_turns: int, rng: np.random.RandomState) -
             turns.append(
                 f'The documents (the "Record") were produced on {_date_str(rng)}. '
                 f"collectively, the \"Parties\""
+            )
+        elif kind == 6:
+            # obligation fact sentence (deterministic fact extraction +
+            # binds-rule trigger; related entities are conv parties)
+            turns.append(
+                f"{claimant} shall deliver the executed documents to "
+                f"{respondent} no later than {_date_str(rng)}."
+            )
+        elif kind == 7:
+            # payment fact sentence (paid-rule trigger)
+            amount = int(rng.randint(10, 999)) * 1000
+            turns.append(
+                f"{claimant} paid ${amount:,} to {respondent} under the "
+                f"master agreement."
             )
         else:
             turns.append(_FILLER[rng.randint(len(_FILLER))])

@@ -67,7 +67,17 @@ def _classify_party_type(name: str) -> str:
 
 def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
     """conversations: [(conv_id, [turn texts in turn_idx order])] — MUST be
-    pre-sorted by conv_id.  Returns (triples set, store)."""
+    pre-sorted by conv_id.  Returns (triples set, store).
+
+    The fact stream comes from OUR deterministic extractor (the pluggable
+    semantic extractor's deterministic subset — the reference's own facts
+    are LLM output); everything DOWNSTREAM of the stream (fact→edge rules,
+    Fact entity storage, about-edge name resolution) runs through the
+    REFERENCE's kernels/semantics: RelationshipInferrer fact rules and
+    _store_facts (extraction_pipeline.py:800-850).
+    """
+    from knowledgegraphsiqidis_spark.functions import textops as _textops
+
     extractor = ref.StructuralExtractor()
     EN = ref.EntityNormalizer
     store = _Store()
@@ -76,6 +86,10 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
     for conv_id, texts in conversations:
         doc = "\n".join(texts)
         structural = extractor.extract(doc)
+        facts = [ref.ExtractedFact(fact_type=f["fact_type"], text=f["text"],
+                                   related_entities=list(f["related"]),
+                                   properties={}, confidence=0.8)
+                 for f in _textops.extract_facts(doc)]
 
         entities = [
             ref.ExtractedEntity(
@@ -91,7 +105,8 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
             for t in structural.defined_terms
         ]
 
-        relations = ref.RelationshipInferrer.infer_relationships(entities, [], [])
+        relations = ref.RelationshipInferrer.infer_relationships(
+            entities, [], facts)
 
         # --- _resolve_and_store_entities (vector store empty) ---
         entity_map: Dict[str, int] = {}
@@ -140,5 +155,21 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
                 triples.add((store.entities[sid]["canonical_name"],
                              rel.relation_type,
                              store.entities[tid]["canonical_name"]))
+
+        # --- _store_facts (extraction_pipeline.py:800-850): Fact entities
+        # enter the SAME store (they become search candidates for later
+        # conversations, like the reference's entities table), and each
+        # resolvable related name gets an `about` edge.
+        for fact in facts:
+            fact_name = f"{fact.fact_type}: {fact.text[:50]}..."
+            fid = store.add("Fact", fact_name)
+            assert fid is not None
+            for name in fact.related_entities:
+                eid = entity_map.get(name)
+                if eid is None:
+                    eid = find_by_name(name)
+                if eid is not None:
+                    triples.add((fact_name, "about",
+                                 store.entities[eid]["canonical_name"]))
 
     return triples, store

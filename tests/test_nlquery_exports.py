@@ -105,3 +105,23 @@ def test_exports(spark, graph, tmp_path):
     doc = exports.export_graphml(nodes, edges, str(tmp_path / "g.graphml"))
     assert doc.count("<node") == 5 and doc.count("<edge") == 3
     assert os.path.exists(tmp_path / "g.graphml")
+
+
+def test_canned_templates(spark, graph):
+    """N11: all 10 reference templates run and return DataFrames; spot-check
+    routing of representative templates."""
+    nodes, edges, aliases = graph
+    assert len(nlquery.QUERY_TEMPLATES) == 10
+    for key in nlquery.QUERY_TEMPLATES:
+        df = nlquery.canned_query(key, nodes, edges)
+        assert df.columns  # materializes a valid plan
+    parties = nlquery.canned_query("parties", nodes, edges)
+    assert {r["type"] for r in parties.collect()} <= {"Organization", "Person"}
+    rel = nlquery.interpret_query(nlquery.QUERY_TEMPLATES["relationships"])
+    assert rel["query_type"] == "relationship_query"
+    # reference quirk replicated: the substring rule 'all' fires on
+    # "allegations", so the claims template routes to aggregation
+    agg = nlquery.interpret_query(nlquery.QUERY_TEMPLATES["claims"])
+    assert agg["query_type"] == "aggregation"
+    ob = nlquery.interpret_query(nlquery.QUERY_TEMPLATES["obligations"])
+    assert ob["query_type"] == "fact_search"
