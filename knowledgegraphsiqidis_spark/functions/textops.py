@@ -153,13 +153,18 @@ def find_party_section(text: str) -> str:
 
 
 # A party pattern can only match ending at/near a literal role keyword; the
-# organization-name prefix is bounded (≤59 chars + ≤12 suffix + separators),
-# so scanning an 80-char lookback window around each keyword occurrence is
-# equivalent to scanning the whole region — but skips the quadratic
-# backtracking over the 3000-char caption for every pattern.  Matches are
-# deduplicated by span and yielded in position order, preserving finditer
-# semantics for the `seen` first-occurrence logic.
-_PARTY_LOOKBACK = 80
+# organization-name prefix is bounded (≤59-char name + ≤12-char suffix) and
+# the name→keyword separators (\s*,\s* / whitespace before a quoted role)
+# are practically bounded by the window slack, so scanning a 140-char
+# lookback window around each keyword occurrence is equivalent to scanning
+# the whole region — but skips the quadratic backtracking over the
+# 3000-char caption for every pattern.  Window sizing: 59 + 12 name chars
+# + ~60 chars of separator allowance (a caption with MORE than that much
+# whitespace between name and role keyword is out of scope by construction).
+# Matches are deduplicated by span, ordered by position, and overlapping
+# later matches are dropped — plain ``finditer`` never yields overlapping
+# matches, and windowed re-scanning otherwise could.
+_PARTY_LOOKBACK = 140
 
 
 def _party_matches(pat: re.Pattern, role: str, region: str, region_lower: str):
@@ -171,13 +176,21 @@ def _party_matches(pat: re.Pattern, role: str, region: str, region_lower: str):
         if k < 0:
             break
         w0 = max(0, k - _PARTY_LOOKBACK)
-        w1 = min(len(region), k + len(role) + 8)
+        w1 = min(len(region), k + len(role) + 24)
         for m in pat.finditer(region, w0, w1):
             if m.span() not in spans:
                 spans.add(m.span())
                 matches.append(m)
         start = k + 1
-    return sorted(matches, key=lambda m: m.start())
+    # finditer non-overlap semantics: scan left-to-right, drop any match
+    # starting inside the previously accepted one
+    out = []
+    last_end = -1
+    for m in sorted(matches, key=lambda m: (m.start(), m.end())):
+        if m.start() >= last_end:
+            out.append(m)
+            last_end = m.end()
+    return out
 
 
 def extract_parties(text: str) -> List[Dict[str, Any]]:

@@ -79,17 +79,35 @@ _STOP_BLOCKS = ("and", "the", "of", "for", "to", "in", "on", "by", "or")
 
 
 def _block_keys(forms: DataFrame, max_block: int) -> DataFrame:
-    """Word-token blocking keys over raw + normalized lowered names, with
-    hot blocks capped at the ``max_block`` earliest forms (mirroring the
-    reference's LIMIT-10 candidate truncation rather than letting a hot
-    surface form blow up the self-join)."""
+    """Blocking keys over raw + normalized lowered names, with hot blocks
+    capped at the ``max_block`` earliest forms (mirroring the reference's
+    LIMIT-10 candidate truncation rather than letting a hot surface form
+    blow up the self-join).
+
+    Two key families:
+      * word tokens — cheap, covers multi-word containment;
+      * character 5-grams — covers containment that crosses word boundaries
+        (the reference's LIKE '%query%' matches 'Rainstorm' inside
+        'Brainstorms' with no shared word token): every 5-gram of a
+        contained string is also a 5-gram of its container, so any
+        containment pair with a ≥5-char query shares a key.  Queries
+        shorter than 5 chars keep their whole-string key.
+    """
     lowname, lownorm = F.lower("name"), F.lower("norm_name")
+
+    def grams(low):
+        return F.when(F.length(low) <= 5, F.array(low)).otherwise(
+            F.transform(F.sequence(F.lit(1), F.length(low) - 4),
+                        lambda i: low.substr(i, F.lit(5))))
+
     keyed = (forms
              .select("name", "norm_name", "er_type", "form_key",
                      F.explode(F.array_distinct(F.concat(
                          F.array(lownorm),
                          F.split(lownorm, r"\s+"),
-                         F.split(lowname, r"\s+")))).alias("block")))
+                         F.split(lowname, r"\s+"),
+                         grams(lownorm),
+                         grams(lowname)))).alias("block")))
     keyed = keyed.filter((F.length("block") > 1)
                          & ~F.col("block").isin(*_STOP_BLOCKS))
     w = Window.partitionBy("block").orderBy("form_key")
@@ -130,10 +148,12 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> Dat
     Blocking is type-free — the reference's LIKE candidate search spans all
     entity types (database.py:204-215) and its scoring uses the *incoming*
     entity's validated type (extraction_pipeline.py:628-648), so a Person
-    surface form can resolve into an Organization cluster.  Keys are the
-    words of the raw and normalized lowered names (a containment candidate
-    always shares a distinctive word; pure-stopword keys are dropped — any
-    pair they alone would generate cannot pass the containment filter).
+    surface form can resolve into an Organization cluster.  Keys are word
+    tokens PLUS character 5-grams of the raw and normalized lowered names —
+    the 5-grams guarantee a shared key for containment that crosses word
+    boundaries (LIKE '%query%' semantics), see ``_block_keys``.
+    Pure-stopword keys are dropped — any pair they alone would generate
+    cannot pass the containment filter.
     """
     keyed = _block_keys(forms, max_block)
 

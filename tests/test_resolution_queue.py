@@ -157,3 +157,19 @@ def test_pipeline_with_queue_stage(spark):
     missing = (q.select(F.col("form_key"))
                .join(forms.select("form_key"), "form_key", "left_anti"))
     assert missing.count() == 0
+
+
+def test_blocking_catches_word_boundary_containment(spark):
+    """ADVICE regression: LIKE '%query%' containment that crosses a word
+    boundary ('Rainstorm' inside 'Brainstorms Ltd') shares no word token;
+    the char-5-gram blocking keys must still generate and merge the pair."""
+    rows = [
+        ("Organization", "Brainstorms Ltd", "Brainstorms", "b0#000001", 1),
+        ("Organization", "Rainstorms", "Rainstorms", "b0#000002", 1),
+    ]
+    forms = spark.createDataFrame(rows, FORMS_DDL)
+    s = name_similarity("Brainstorms Ltd", "Rainstorms", "Organization")
+    assert s >= 0.8  # the reference resolver would merge this pair
+    edges = match_edges(forms)
+    got = {(r["key_a"], r["key_b"]) for r in edges.collect()}
+    assert ("b0#000001", "b0#000002") in got

@@ -114,3 +114,30 @@ def test_similarity_parity(ref):
             for t in ("Organization", "Person", None):
                 assert textops.name_similarity(a, b, t) == \
                     pytest.approx(EN.compute_similarity(a, b, t)), (a, b, t)
+
+
+def test_party_window_whitespace_padding(ref):
+    """ADVICE regression: generous whitespace between a long org name and its
+    role keyword must not push the match start outside the scan window."""
+    long_name = "Intercontinental Amalgamated Consolidated Industries Group Inc."
+    pads = [" ", "   ", "armarmarm  \t ", " " * 40]
+    for pad in pads:
+        cap = (f"SUPERIOR COURT\nCase No. 1-2-3\n"
+               f"{long_name},{pad}Claimant, and Globex Corp., Respondent.\n"
+               f"This Statement of Claim is submitted.")
+        ours = [(p['name'], p['role']) for p in textops.extract_parties(cap)]
+        theirs = [(p.name, p.role)
+                  for p in ref.StructuralExtractor().extract(cap).parties]
+        assert ours == theirs, (pad, ours, theirs)
+
+
+def test_party_matches_non_overlapping(ref):
+    """Windowed re-scanning must preserve plain finditer's non-overlap
+    ordering on captions with adjacent role keywords."""
+    cap = ("COURT\nCase No. 9-9-9\n"
+           "Acme Corp., Claimant, and Zeta Claimant Services LLC, Respondent.\n"
+           "Statement of Claim follows.")
+    ours = [(p['name'], p['role']) for p in textops.extract_parties(cap)]
+    theirs = [(p.name, p.role)
+              for p in ref.StructuralExtractor().extract(cap).parties]
+    assert ours == theirs
