@@ -512,6 +512,16 @@ def _q_kg_all_paths(spark, sf):
             .groupBy("hops").agg(F.count("*").alias("n_paths")))
 
 
+def _q_kg_disambiguate(spark, sf):
+    """F7 disambiguation tiers over the built graph (rows-only: tier scoring
+    is a pandas UDF; exact parity vs the reference's
+    _compute_entity_match_score is pytest-verified, test_f7_match.py)."""
+    from knowledgegraphsiqidis_spark.operators.nlquery import disambiguate
+    r = _kg(spark, sf)
+    return disambiguate("gulfstream", r.tables["nodes"], r.tables["aliases"],
+                        k=10)
+
+
 def _q_kg_resolution_queue(spark, sf):
     """Three-band ER with the embedding confirmer: ambiguous 0.8-0.9 matches
     that the embedding does not confirm, plus unaccepted kNN candidates,
@@ -608,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_hops": _q_kg_path_hops,
         "kg_shortest_path": _q_kg_shortest_path,
         "kg_all_paths": _q_kg_all_paths,
+        "kg_disambiguate": _q_kg_disambiguate,
         "kg_resolution_queue": _q_kg_resolution_queue,
         "kg_resolution_rate": _q_kg_resolution_rate,
         "corroboration": _q_corroboration,

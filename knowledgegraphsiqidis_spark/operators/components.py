@@ -70,7 +70,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = MAX_ITERATIONS)
              .filter(F.col("a") != F.col("b"))
              .distinct()
              .localCheckpoint())
-    if edges.rdd.isEmpty():
+    if edges.isEmpty():
         return edges.select(F.col("a").alias("node"), F.col("b").alias("component"))
 
     prev_sig = None

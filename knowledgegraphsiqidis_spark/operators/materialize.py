@@ -105,8 +105,7 @@ def occurrence_map(extractions: DataFrame, forms: DataFrame,
               .agg(F.min("m_key").alias("avail_key"))
               .withColumn("score",
                           _pair_score("canon_name", "q_name", "q_etype"))
-              .filter(F.col("score") >= threshold)
-              .localCheckpoint())
+              .filter(F.col("score") >= threshold))
 
     occ = (extractions
            .filter(F.col("kind").isin("party", "term", "doc"))

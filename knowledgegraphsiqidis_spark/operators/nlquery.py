@@ -151,6 +151,86 @@ def query(question: str, nodes: DataFrame, edges: DataFrame,
     return execute_query(interpret_query(question), nodes, edges, extractions)
 
 
+# F7 — disambiguation match-scoring tiers (nl_query.py:298-349): exact 1.0 >
+# suffix-normalized 0.95 > acronym 0.9 > alias-exact 0.85 > substring
+# coverage (0.7/0.6-weighted) vs word overlap (0.5-weighted) max'd with
+# alias containment 0.6.  Pure function usable from pandas UDFs and tests.
+_F7_SUFFIXES = (' inc', ' inc.', ' llc', ' ltd', ' ltd.', ' corp', ' corp.',
+                ' corporation', ' aerospace', ' group', ' company', ' co.')
+
+
+def entity_match_score(query: str, canonical_name: str,
+                       aliases: list | None = None) -> float:
+    """How well an entity matches a disambiguation query (F7 tiers)."""
+    query_lower = query.lower()
+    entity_name = canonical_name.lower()
+    if query_lower == entity_name:
+        return 1.0
+
+    def norm(s: str) -> str:
+        s = s.lower()
+        for suf in _F7_SUFFIXES:
+            s = s.replace(suf, '')
+        return s.strip()
+
+    if norm(query_lower) == norm(entity_name):
+        return 0.95
+    if len(query_lower) <= 10 and query_lower.isupper():
+        acronym = ''.join(w[0].upper() for w in entity_name.split() if w)
+        if query_lower.upper() == acronym:
+            return 0.9
+    score = 0.0
+    if query_lower in entity_name:
+        score = len(query_lower) / len(entity_name) * 0.7
+    elif entity_name in query_lower:
+        score = len(entity_name) / len(query_lower) * 0.6
+    qw, ew = set(query_lower.split()), set(entity_name.split())
+    overlap = len(qw & ew)
+    if overlap > 0:
+        score = max(score, overlap / max(len(qw), len(ew)) * 0.5)
+    for alias in (aliases or []):
+        al = alias.lower()
+        if query_lower == al:
+            score = max(score, 0.85)
+        elif query_lower in al or al in query_lower:
+            score = max(score, 0.6)
+    return score
+
+
+def disambiguate(query: str, nodes: DataFrame, aliases: DataFrame,
+                 k: int = 10) -> DataFrame:
+    """Rank candidate entities for a query mention by the F7 tiers —
+    candidate generation by containment (P4 shape), scoring via a
+    vectorized pandas UDF over the bounded candidate set."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = query.lower()
+
+    # no parameter annotations: the module's postponed annotations + the
+    # function-local pandas import would leave pyspark unable to resolve the
+    # 'pd.Series' hint strings
+    @F.pandas_udf(T.DoubleType())
+    def _score(name, als):
+        return pd.Series([entity_match_score(q, n, list(a) if a is not None
+                                             else []) for n, a in
+                          zip(name, als)], dtype="float64")
+
+    al = (aliases.groupBy(F.col("entity_id").alias("id"))
+          .agg(F.collect_list("alias_text").alias("als")))
+    cand = (nodes
+            .join(al, "id", "left")
+            .filter(F.lower("canonical_name").contains(q)
+                    | F.lit(q).contains(F.lower("canonical_name"))
+                    | F.exists(F.coalesce("als", F.array()),
+                               lambda a: F.lower(a).contains(q)
+                               | F.lit(q).contains(F.lower(a)))))
+    return (cand.withColumn("match_score",
+                            F.round(_score("canonical_name", "als"), 6))
+            .select("id", "canonical_name", "type", "match_score")
+            .orderBy(F.desc("match_score"), F.asc("id")).limit(k))
+
+
 # N11 — canned query templates (server.py:1327-1378): the reference ships 10
 # fixed lawyer questions routed through the same query engine; each maps to a
 # deterministic dispatch here.

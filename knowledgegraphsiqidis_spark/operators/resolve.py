@@ -78,7 +78,11 @@ def entity_forms(extractions: DataFrame) -> DataFrame:
 _STOP_BLOCKS = ("and", "the", "of", "for", "to", "in", "on", "by", "or")
 
 
-def _block_keys(forms: DataFrame, max_block: int) -> DataFrame:
+GRAM_DF_CAP = 1000
+
+
+def _block_keys(forms: DataFrame, max_block: int | None,
+                gram_df_cap: int = GRAM_DF_CAP) -> DataFrame:
     """Blocking keys over raw + normalized lowered names, with hot blocks
     capped at the ``max_block`` earliest forms (mirroring the reference's
     LIMIT-10 candidate truncation rather than letting a hot surface form
@@ -92,6 +96,16 @@ def _block_keys(forms: DataFrame, max_block: int) -> DataFrame:
         contained string is also a 5-gram of its container, so any
         containment pair with a ≥5-char query shares a key.  Queries
         shorter than 5 chars keep their whole-string key.
+
+    Gram blocks with document frequency above ``gram_df_cap`` are dropped
+    ENTIRELY (word blocks keep the row_number cap): a gram shared by k forms
+    costs a k-row single-task sort in the cap window — at 300k forms the
+    shared prefix grams of per-conversation Doc_* names alone contributed
+    ~100 s of core-count-independent time.  Dropping an over-cap gram block
+    loses only gram-unique pairs among its earliest ``max_block`` members —
+    strictly gentler than the reference's LIMIT-10 truncation — and degrades
+    gracefully at corpus scale (word blocking persists).  Surface dropped
+    blocks with :func:`blocked_overflow`.
     """
     lowname, lownorm = F.lower("name"), F.lower("norm_name")
 
@@ -100,19 +114,39 @@ def _block_keys(forms: DataFrame, max_block: int) -> DataFrame:
             F.transform(F.sequence(F.lit(1), F.length(low) - 4),
                         lambda i: low.substr(i, F.lit(5))))
 
-    keyed = (forms
-             .select("name", "norm_name", "er_type", "form_key",
-                     F.explode(F.array_distinct(F.concat(
-                         F.array(lownorm),
-                         F.split(lownorm, r"\s+"),
-                         F.split(lowname, r"\s+"),
-                         grams(lownorm),
-                         grams(lowname)))).alias("block")))
-    keyed = keyed.filter((F.length("block") > 1)
-                         & ~F.col("block").isin(*_STOP_BLOCKS))
+    base = forms.select("name", "norm_name", "er_type", "form_key",
+                        F.lower("name").alias("_ln"),
+                        F.lower("norm_name").alias("_lnn"))
+    words = base.select(
+        "name", "norm_name", "er_type", "form_key",
+        F.explode(F.array_distinct(F.concat(
+            F.array(F.col("_lnn")),
+            F.split("_lnn", r"\s+"),
+            F.split("_ln", r"\s+")))).alias("block"),
+        F.lit(False).alias("_gram"))
+    gram = base.select(
+        "name", "norm_name", "er_type", "form_key",
+        F.explode(F.array_distinct(F.concat(
+            grams(F.col("_lnn")), grams(F.col("_ln"))))).alias("block"),
+        F.lit(True).alias("_gram"))
+    keyed = (words.unionByName(gram)
+             .filter((F.length("block") > 1)
+                     & ~F.col("block").isin(*_STOP_BLOCKS))
+             # a key in both families counts once, as a WORD key (word keys
+             # are never df-dropped) — min(False, True) keeps the word row
+             .groupBy("form_key", "er_type", "name", "norm_name", "block")
+             .agg(F.min("_gram").alias("_gram")))
+    if max_block is None:
+        return keyed.drop("_gram")
+    df = keyed.groupBy("block").agg(F.count("*").alias("_df"))
+    keyed = (keyed.join(df, "block")
+             .filter(~F.col("_gram") | (F.col("_df") <= gram_df_cap)))
+    small = keyed.filter(F.col("_df") <= max_block)
     w = Window.partitionBy("block").orderBy("form_key")
-    return (keyed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_block).drop("_rn"))
+    big = (keyed.filter(F.col("_df") > max_block)
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= max_block).drop("_rn"))
+    return small.unionByName(big).drop("_df", "_gram")
 
 
 def containment_candidates(forms: DataFrame, queries: DataFrame,
@@ -126,6 +160,8 @@ def containment_candidates(forms: DataFrame, queries: DataFrame,
 
     Returns (q_key, q_name, q_etype, m_key).
     """
+    forms = forms.filter(F.col("er_type") != "Document")
+    queries = queries.filter(F.col("er_type") != "Document")
     members = _block_keys(forms, max_block).select(
         F.col("name").alias("m_name"), F.col("form_key").alias("m_key"),
         "block")
@@ -154,8 +190,18 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> Dat
     boundaries (LIKE '%query%' semantics), see ``_block_keys``.
     Pure-stopword keys are dropped — any pair they alone would generate
     cannot pass the containment filter.
+
+    Document forms are excluded from blocking entirely: the reference
+    creates Document entities by DIRECT insert, never through the resolver
+    (extraction_pipeline.py:600-612), so they are never incoming entities;
+    and as stored candidates their machine-generated ``Doc_*`` names cannot
+    contain a real ≥0.8-scoring query.  (They remain nodes and exact-tier
+    resolution targets.)  This also keeps the per-conversation-unique doc
+    names — one new form per conversation forever — out of the gram-key
+    space.
     """
-    keyed = _block_keys(forms, max_block)
+    keyed = _block_keys(forms.filter(F.col("er_type") != "Document"),
+                        max_block)
 
     a = keyed.select(F.col("name").alias("name_a"),
                      F.col("form_key").alias("key_a"), "block")
@@ -184,12 +230,8 @@ def blocked_overflow(forms: DataFrame,
     candidate self-join — no silent truncation: callers append this to the
     lineage/metrics table so oversize hot surface forms are visible.
     """
-    lowname, lownorm = F.lower("name"), F.lower("norm_name")
-    keyed = (forms.select(F.explode(F.array_distinct(F.concat(
-        F.array(lownorm), F.split(lownorm, r"\s+"), F.split(lowname, r"\s+")
-    ))).alias("block"))
-        .filter((F.length("block") > 1) & ~F.col("block").isin(*_STOP_BLOCKS)))
-    return (keyed.groupBy("block").agg(F.count("*").alias("n_forms"))
+    return (_block_keys(forms, max_block=None)
+            .groupBy("block").agg(F.count("*").alias("n_forms"))
             .filter(F.col("n_forms") > max_block)
             .withColumn("n_dropped", F.col("n_forms") - max_block))
 
@@ -270,19 +312,22 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
         # the argmax edge set is a functional forest pointing later → earlier
         canon_names = forms.select(F.col("form_key").alias("canon_key"),
                                    F.col("name").alias("canon_name"))
-        rescored = (pairs
-                    .join(canon_of.withColumnRenamed("form_key", "key_a"),
-                          "key_a", "left")
-                    .withColumn("canon_key",
-                                F.coalesce("canon_key", F.col("key_a")))
-                    .join(canon_names, "canon_key")
-                    # pairs whose earlier side is its own canonical keep the
-                    # already-computed form score; only chain members re-score
-                    .withColumn("score",
-                                F.when(F.col("canon_key") == F.col("key_a"),
-                                       F.col("score"))
-                                .otherwise(_pair_score("canon_name", "name_b",
-                                                       "etype_b"))))
+        relabeled = (pairs
+                     .join(canon_of.withColumnRenamed("form_key", "key_a"),
+                           "key_a", "left")
+                     .withColumn("canon_key",
+                                 F.coalesce("canon_key", F.col("key_a")))
+                     .join(canon_names, "canon_key"))
+        # pairs whose earlier side is its own canonical keep the already-
+        # computed form score; ONLY chain members re-score.  Split + union
+        # instead of when(): Spark evaluates pandas UDFs on every row
+        # regardless of the when() branch, which would re-score the whole
+        # pair set each round.
+        unchanged = relabeled.filter(F.col("canon_key") == F.col("key_a"))
+        chained = (relabeled.filter(F.col("canon_key") != F.col("key_a"))
+                   .withColumn("score", _pair_score("canon_name", "name_b",
+                                                    "etype_b")))
+        rescored = unchanged.unionByName(chained)
         winners = best_candidates(rescored)
         edges = accept(winners)
     edges = edges.select("key_a", "key_b")
@@ -386,23 +431,24 @@ def resolve_with_queue(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
             name_queue.unionByName(knn_queue))
 
 
-def _forest_roots(edges: DataFrame, max_doubling: int = 5) -> DataFrame:
+def _forest_roots(edges: DataFrame, max_doubling: int = 4) -> DataFrame:
     """(form_key → root form_key) for a functional forest where every edge
     points from a later key_b to an earlier key_a — path doubling, exact in
     ⌈log2 depth⌉ joins (the root is the tree's minimum key since every
     parent precedes its child).
+
+    Built LAZILY as one plan of ``max_doubling`` self-joins (covers chain
+    depth 2^max_doubling = 16; argmax-forest chains are 2-3 deep in
+    practice): the earlier per-iteration checkpoint + convergence-count
+    version cost ~10 scheduler round-trips per ER round, a core-count-
+    independent latency tax that capped N→4N scaling efficiency.
     """
     m = edges.select(F.col("key_b").alias("form_key"),
-                     F.col("key_a").alias("canon_key")).localCheckpoint()
+                     F.col("key_a").alias("canon_key"))
     for _ in range(max_doubling):
         parent = m.select(F.col("form_key").alias("canon_key"),
                           F.col("canon_key").alias("grand"))
-        m2 = (m.join(parent, "canon_key", "left")
-              .select("form_key", F.coalesce("grand", "canon_key")
-                      .alias("canon_key"))
-              .localCheckpoint())
-        changed = (m2.subtract(m)).limit(1).count()
-        m = m2
-        if changed == 0:
-            break
+        m = (m.join(parent, "canon_key", "left")
+             .select("form_key", F.coalesce("grand", "canon_key")
+                     .alias("canon_key")))
     return m
