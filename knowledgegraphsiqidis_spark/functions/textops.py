@@ -347,6 +347,53 @@ FACT_PAYMENT_RE = re.compile(
     rf'(?=\s+(?:under|for|on|pursuant)\b|[,.;\n]|$)')
 
 
+# Deterministic entity-role-property extraction — the pluggable stand-in for
+# the LLM's per-entity properties that the reference's attorney/executive
+# inference rules read (semantic_extractor.py:636-664: role ∈
+# attorney/counsel/lawyer + props client/for/representing → represents 0.6;
+# role ∈ ceo/president/director/officer + props company/organization/of →
+# employed_by 0.8).  Sentence shapes: "NAME, counsel for CLIENT, ..." and
+# "NAME, CEO of ORG, ...".
+ATTORNEY_ROLES = ("attorney", "counsel", "lawyer")
+EXEC_ROLES = ("ceo", "president", "director", "officer")
+# role words match case-insensitively via scoped (?i:...) groups; the NAME
+# pattern stays case-sensitive (IGNORECASE on the whole regex would let
+# lowercase prose words match _CAPNAME)
+ENTITY_PROP_RE = re.compile(
+    rf'({_CAPNAME})\s*,\s+((?i:attorney|counsel|lawyer))\s+for\s+'
+    rf'([^,\n]+?)\s*,'
+    rf'|({_CAPNAME})\s*,\s+((?i:CEO|President|Director|Officer))\s+of\s+'
+    rf'([^,\n]+?)\s*,')
+
+
+def extract_entity_props(text: str) -> List[Dict[str, Any]]:
+    """Person entities with role properties, in document order.
+
+    Returns dicts ``{name, role, hint, span_start, span_end}``: ``role`` is
+    lowercased (the reference lowercases before its table lookup,
+    semantic_extractor.py:615); ``hint`` is the client (attorney roles) or
+    company (executive roles) name the inference rules target.  First
+    occurrence per (name, role) wins, like the extractor's other seen-sets.
+    """
+    out: List[Dict[str, Any]] = []
+    seen = set()
+    for m in ENTITY_PROP_RE.finditer(text):
+        if m.group(1):
+            name, role, hint = m.group(1), m.group(2), m.group(3)
+        else:
+            name, role, hint = m.group(4), m.group(5), m.group(6)
+        name = _WS.sub(' ', name.strip()).strip(' ,.')
+        hint = _WS.sub(' ', hint.strip()).strip(' ,')
+        role = role.lower()
+        key = (name.lower(), role)
+        if not name or not hint or key in seen:
+            continue
+        seen.add(key)
+        out.append({'name': name, 'role': role, 'hint': hint,
+                    'span_start': m.start(), 'span_end': m.end()})
+    return out
+
+
 def extract_facts(text: str) -> List[Dict[str, Any]]:
     """Deterministic facts in document order: obligation + payment patterns.
 

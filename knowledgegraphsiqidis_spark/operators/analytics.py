@@ -219,13 +219,18 @@ def pagerank(nodes: DataFrame, edges: DataFrame, damping: float = 0.85,
                     .select(F.col("dst").alias("id"),
                             (F.col("rank") / F.col("out_deg")).alias("c"))
                     .groupBy("id").agg(F.sum("c").alias("contrib")))
+        # Dangling mass as a broadcast 1-row aggregate INSIDE the rank-update
+        # plan — the earlier per-iteration .collect() was a separate Spark
+        # job (15 iterations = 15 extra scheduler round-trips).
         dangling = (ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0])
-        base = (1.0 - damping) + damping * dangling / n_nodes
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")))
+        base = (F.lit(1.0 - damping)
+                + F.lit(damping) * F.col("_dang") / F.lit(float(n_nodes)))
         ranks = (ranks.select("id")
                  .join(contribs, "id", "left")
+                 .crossJoin(F.broadcast(dangling))
                  .select("id",
-                         (F.lit(base) + F.lit(damping)
+                         (base + F.lit(damping)
                           * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"))
                  .localCheckpoint())
     return ranks

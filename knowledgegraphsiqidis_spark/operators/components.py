@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 MAX_ITERATIONS = 50
 
@@ -52,11 +52,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def _signature(edges: DataFrame):
-    row = edges.select(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h")).collect()[0]
-    return row["n"], row["h"]
+def _observed_checkpoint(edges: DataFrame):
+    """localCheckpoint + convergence signature in ONE job: the Observation
+    is filled by the checkpoint action itself, halving the per-round
+    scheduler round-trips (the signature was previously a separate
+    .collect() job — a core-count-independent latency term)."""
+    obs = Observation()
+    ck = edges.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h")
+    ).localCheckpoint()
+    return ck, (obs.get["n"], obs.get["h"])
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
@@ -76,8 +82,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = MAX_ITERATIONS)
     prev_sig = None
     for i in range(max_iterations):
         t0 = time.time()
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        sig = _signature(edges)
+        edges, sig = _observed_checkpoint(_small_star(_large_star(edges)))
         if os.environ.get("KG_TIMING"):
             print(f"[kg-timing] cc round {i}: {time.time() - t0:.1f}s "
                   f"edges={sig[0]}", file=sys.stderr, flush=True)

@@ -73,6 +73,22 @@ def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
                         "turn_idx": turn_of(t["span_start"]),
                         "span_start": t["span_start"], "span_end": t["span_end"]})
             seq += 1
+        for pr in textops.extract_entity_props(doc):
+            # role-property persons (G4 rules 3/5 input): same ER path as
+            # caption parties — the reference resolves LLM-extracted
+            # entities through the same loop (extraction_pipeline.py:615).
+            # Ordering matters: after terms, mirroring the oracle's entity
+            # list (parties + terms + prop persons).
+            er_type = textops.validate_entity_type(pr["name"], "Person")
+            out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "party",
+                        "name": pr["name"], "entity_type": "Person",
+                        "er_type": er_type,
+                        "norm_name": textops.normalize_name(pr["name"], er_type),
+                        "role": pr["role"], "hint": pr["hint"], "aliases": [],
+                        "turn_idx": turn_of(pr["span_start"]),
+                        "span_start": pr["span_start"],
+                        "span_end": pr["span_end"]})
+            seq += 1
         for d in res["key_dates"]:
             out.append({**base, "conv_id": conv_id, "seq": seq, "kind": "date",
                         "name": d["date"], "entity_type": "Date", "er_type": "Date",

@@ -8,16 +8,23 @@ entities, conversation-scoped exactly as the reference is document-scoped:
           (semantic_extractor.py:620-633), confidence 0.7
   rule 2  plaintiff/claimant × defendant/respondent → ``opposes``
           (semantic_extractor.py:666-681), confidence 0.9
+  rule 3  attorney/counsel/lawyer role + client hint → ``represents``
+          (semantic_extractor.py:636-649), confidence 0.6
   rule 4  org-name containment → ``affiliated_with`` shorter→longer
           (semantic_extractor.py:737-761), confidence 0.5
+  rule 5  ceo/president/director/officer role + company hint →
+          ``employed_by`` (semantic_extractor.py:651-664), confidence 0.8
+
+Rules 3/5 read the per-entity role + client/company hint properties the
+reference gets from its LLM extractor; the pluggable deterministic stand-in
+is ``textops.extract_entity_props`` (the ``hint`` column on party rows) —
+rows without a hint emit nothing, exactly like the reference's empty
+``props.get('client', ...)`` guard.
 
 Fact-derived edges (``infer_facts_stage``: payment→paid, breach→breached,
 obligation→binds; semantic_extractor.py:684-735) activate when the pluggable
 semantic extractor supplies facts — with the deterministic structural
-extractor the facts input is empty and they emit nothing.  Attorney/executive
-property rules (semantic_extractor.py:636-664) need per-entity client/company
-hint properties that only an LLM extractor produces; they are intentionally
-not implemented until such an extractor is plugged in.
+extractor the facts input is empty and they emit nothing.
 
 Every rule is an equi-join on ``conv_id`` plus cheap predicates — Catalyst
 plans these as co-partitioned shuffle joins sharing one exchange of the
@@ -30,6 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 _PARTY_TO_ROLES = ("plaintiff", "defendant", "claimant", "respondent")
 _PLAINTIFF_ROLES = ("plaintiff", "claimant")
 _DEFENDANT_ROLES = ("defendant", "respondent")
+_ATTORNEY_ROLES = ("attorney", "counsel", "lawyer")
+_EXEC_ROLES = ("ceo", "president", "director", "officer")
 
 
 def _caseish(name_col):
@@ -41,8 +50,12 @@ def _caseish(name_col):
 
 def infer_stage(extractions: DataFrame) -> DataFrame:
     """extractions → inferred raw triples (conv_id, subj, pred, obj, confidence, inferred)."""
-    parties = (extractions.filter(F.col("kind") == "party")
-               .select("conv_id", "name", "role", "entity_type"))
+    cols = ["conv_id", "name", "role", "entity_type"]
+    if "hint" in extractions.columns:
+        cols.append("hint")
+    parties = extractions.filter(F.col("kind") == "party").select(*cols)
+    if "hint" not in parties.columns:
+        parties = parties.withColumn("hint", F.lit(None).cast("string"))
     docs = (extractions
             .filter(F.col("kind").isin("party", "term"))
             .filter(F.col("entity_type").isin("Document", "Reference"))
@@ -66,6 +79,20 @@ def infer_stage(extractions: DataFrame) -> DataFrame:
                .select("conv_id", "subj", F.lit("opposes").alias("pred"), "obj",
                        F.lit(0.9).alias("confidence")))
 
+    # rules 3/5: role-property persons → represents / employed_by toward the
+    # client/company hint (reference confidences 0.6 / 0.8)
+    hinted = parties.filter(F.col("hint").isNotNull() & (F.col("hint") != ""))
+    represents = (hinted.filter(F.col("role").isin(*_ATTORNEY_ROLES))
+                  .select("conv_id", F.col("name").alias("subj"),
+                          F.lit("represents").alias("pred"),
+                          F.col("hint").alias("obj"),
+                          F.lit(0.6).alias("confidence")))
+    employed = (hinted.filter(F.col("role").isin(*_EXEC_ROLES))
+                .select("conv_id", F.col("name").alias("subj"),
+                        F.lit("employed_by").alias("pred"),
+                        F.col("hint").alias("obj"),
+                        F.lit(0.8).alias("confidence")))
+
     orgs = (parties.filter(F.col("entity_type") == "Organization")
             .select("conv_id", F.col("name").alias("org")))
     o2 = orgs.select("conv_id", F.col("org").alias("other"))
@@ -84,7 +111,8 @@ def infer_stage(extractions: DataFrame) -> DataFrame:
     # The reference dedupes on lowered (src, dst, relation) pairs per document
     # (semantic_extractor.py:604); equivalent here as a case-insensitive
     # dropDuplicates within conv_id.
-    return _dedupe(party_to.unionByName(opposes).unionByName(affiliated))
+    return _dedupe(party_to.unionByName(opposes).unionByName(represents)
+                   .unionByName(employed).unionByName(affiliated))
 
 
 def _dedupe(triples: DataFrame) -> DataFrame:

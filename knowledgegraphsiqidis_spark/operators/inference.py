@@ -186,14 +186,49 @@ def bayesian_resolve(nodes: DataFrame, aliases: DataFrame,
             .orderBy(F.desc("probability"), F.asc("id")))
 
 
-def contradictions(facts: DataFrame, min_overlap: int = 5,
-                   id_col: str = "fact_id", text_col: str = "text") -> DataFrame:
-    """Contradicting fact pairs (G16): word-overlap blocking + negation pairs
-    + conflicting number sets, all column expressions."""
+TOKEN_DF_CAP = 100
+
+
+def _fact_words(facts: DataFrame, id_col: str, text_col: str) -> DataFrame:
     f = facts.select(F.col(id_col).alias("id"),
                      F.lower(F.col(text_col)).alias("txt"))
-    words = f.select("id", "txt", F.explode(F.array_distinct(
+    return f.select("id", "txt", F.explode(F.array_distinct(
         F.split("txt", r"\s+"))).alias("w"))
+
+
+def hot_tokens(facts: DataFrame, max_df: int = TOKEN_DF_CAP,
+               id_col: str = "fact_id", text_col: str = "text") -> DataFrame:
+    """Tokens the contradiction blocker drops (document frequency > max_df),
+    with their df — no silent caps: callers surface this next to the
+    contradiction output (same contract as dedup.hot_shingles)."""
+    return (_fact_words(facts, id_col, text_col)
+            .groupBy("w").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df))
+
+
+def contradictions(facts: DataFrame, min_overlap: int = 5,
+                   id_col: str = "fact_id", text_col: str = "text",
+                   max_df: int | None = TOKEN_DF_CAP) -> DataFrame:
+    """Contradicting fact pairs (G16): word-overlap blocking + negation pairs
+    + conflicting number sets, all column expressions.
+
+    Tokens with document frequency above ``max_df`` are dropped from the
+    inverted index BEFORE the self-join (the same df cap as
+    dedup.ngram_jaccard_pairs): a token shared by k facts ("the", "shall")
+    generates k² candidate rows, and the reference's overlap>=5 filter runs
+    only AFTER the join — uncapped, the hot-token join is the pipeline's
+    quadratic term at scale.  Consequence (documented divergence, mirrored
+    in the DuckDB oracle): ``overlap`` counts only sub-cap shared tokens, so
+    a pair whose overlap relies on >max_df-frequency words is not blocked
+    together.  ``max_df=None`` restores the reference's exact uncapped
+    semantics for small inputs; dropped tokens are surfaced by
+    :func:`hot_tokens`.
+    """
+    words = _fact_words(facts, id_col, text_col)
+    if max_df is not None:
+        dfc = (words.groupBy("w").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") <= max_df).select("w"))
+        words = words.join(dfc, "w", "left_semi")
     a = words.select(F.col("id").alias("id_a"), F.col("txt").alias("txt_a"), "w")
     b = words.select(F.col("id").alias("id_b"), F.col("txt").alias("txt_b"), "w")
     pairs = (a.join(b, "w").filter(F.col("id_a") < F.col("id_b"))
@@ -224,12 +259,15 @@ def contradictions(facts: DataFrame, min_overlap: int = 5,
 
 def fact_corroboration(facts: DataFrame, fact_sources: DataFrame,
                        id_col: str = "fact_id", text_col: str = "text",
-                       type_col: str = "fact_type") -> DataFrame:
+                       type_col: str = "fact_type",
+                       max_df: int | None = TOKEN_DF_CAP) -> DataFrame:
     """Corroboration score per fact (G15).  ``fact_sources``:
-    (fact_id, source_doc) rows from mentions/edge provenance."""
+    (fact_id, source_doc) rows from mentions/edge provenance.
+    ``max_df`` is passed through to the contradiction blocker."""
     src_counts = fact_sources.groupBy(id_col).agg(
         F.countDistinct("source_doc").alias("source_count"))
-    contra = contradictions(facts, id_col=id_col, text_col=text_col)
+    contra = contradictions(facts, id_col=id_col, text_col=text_col,
+                            max_df=max_df)
     contra_counts = (contra.select(F.col("id_a").alias(id_col))
                      .unionAll(contra.select(F.col("id_b").alias(id_col)))
                      .groupBy(id_col).agg(F.count("*").alias("contradiction_count")))

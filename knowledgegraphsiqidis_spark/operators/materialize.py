@@ -14,15 +14,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .components import connected_components
-from .resolve import entity_forms, match_edges
+from .resolve import entity_forms, forest_components, match_edges
 
 
-def canonical_map(extractions: DataFrame,
-                  threshold: float = 0.8,
-                  max_block: int = 200,
-                  match_fn=None) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Returns (forms_with_component, nodes, resolution_queue).
+def canonical_map(
+    extractions: DataFrame,
+    threshold: float = 0.8,
+    max_block: int = 200,
+    match_fn=None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame | None]:
+    """Returns (forms_with_component, nodes, resolution_queue, occurrence_map).
 
     forms_with_component: er_type, name, norm_name, form_key, component
     nodes: component (= entity id), type, canonical_name, confidence, status
@@ -30,6 +31,14 @@ def canonical_map(extractions: DataFrame,
     e.g. ``resolve.resolve_with_queue`` for the embedding-confirmed bands.
     The default matcher is the deterministic no-embedding band (reference
     behavior with an empty vector store), which emits no queue.
+    occurrence_map: per-conversation component overrides for always-merging
+    forms (see :func:`occurrence_map`); None when ``match_fn`` is set (the
+    with-queue resolver models the reference's embedding-era behavior, where
+    re-resolution is confirmed per occurrence rather than replayed).
+
+    Canonicalization runs on the forest shortcut (resolve.forest_components)
+    — both resolvers emit argmax forests, so components are tree roots and
+    need no iterative large-star/small-star rounds.
     """
     forms = entity_forms(extractions).localCheckpoint()
     queue = None
@@ -39,7 +48,7 @@ def canonical_map(extractions: DataFrame,
     else:
         matches, queue = match_fn(forms)
     matches = matches.localCheckpoint()
-    comp = connected_components(matches)
+    comp = forest_components(matches)
 
     # Pin before fan-out: nodes/aliases/mentions/edge-relabel all derive from
     # forms_c — without the checkpoint each consumer would re-run the pair
@@ -129,7 +138,8 @@ def occurrence_map(extractions: DataFrame, forms: DataFrame,
 
 def resolve_names(targets: DataFrame, extractions: DataFrame,
                   forms_c: DataFrame,
-                  occ_map: DataFrame | None = None) -> DataFrame:
+                  occ_map: DataFrame | None = None,
+                  global_fallback: bool = False) -> DataFrame:
     """Resolve (conv_id, name_l) targets to entity components through the
     reference's ``_find_entity_by_name`` tiers (extraction_pipeline.py:
     852-874):
@@ -140,14 +150,27 @@ def resolve_names(targets: DataFrame, extractions: DataFrame,
            (extraction_pipeline.py:621-731) → max_by(seq).
       3.   partial containment over the same conversation's entity map,
            FIRST insertion wins (items() iteration order) → min_by(seq).
-      4.   global store LIKE search — NOT ported: it is a cross-conversation
-           scan of every canonical name and alias, and it never fires when
-           triple endpoints and fact subjects are conversation-local (which
-           the deterministic extractor guarantees).  Documented divergence.
+      4.   global store LIKE search (``search_entities_by_name`` LIMIT 1,
+           database.py:204-215) — OPT-IN via ``global_fallback=True``: a
+           cross-conversation containment join (stored canonical/alias
+           surface form CONTAINS the query, case-insensitive like SQLite
+           LIKE) reusing the ER gram/word blocking keys.  LIMIT-1-in-
+           insertion-order = the matching cluster with the minimal
+           component id (clusters are inserted at their first form);
+           as-of semantics: a cluster is a candidate for a conversation
+           only once some matching member was stored in that conversation
+           or earlier.  Divergence kept (documented): the reference's
+           store also contains Fact entities, so an otherwise-unresolvable
+           name whose text appears in an earlier fact's name resolves to
+           that Fact there and stays unresolved here (edge dropped).
+           Default False: the tier never fires while related names are
+           conversation-local, which the deterministic extractor
+           guarantees.
 
     All joins are conv_id-co-partitioned: tier 3's containment predicate
     runs only on the (small) per-conversation target × mention sets that
-    tier 1 left unresolved.
+    tier 1 left unresolved; tier 4 runs only on what tier 3 left, through
+    the df-capped block-key join (never a cross product).
     """
     m = (extractions.filter(F.col("kind").isin("party", "term", "doc"))
          .select(F.col("conv_id").alias("m_conv"), "seq", "name", "er_type",
@@ -184,7 +207,33 @@ def resolve_names(targets: DataFrame, extractions: DataFrame,
                         | keyed.m_name_l.contains(F.col("name_l"))))
                .groupBy("conv_id", "name_l")
                .agg(F.min_by("component", "first_seq").alias("component")))
-    return exact.unionByName(partial)
+    resolved = exact.unionByName(partial)
+    if not global_fallback:
+        return resolved
+    from .resolve import containment_candidates
+
+    still = t.join(resolved.select("conv_id", "name_l"),
+                   ["conv_id", "name_l"], "left_anti")
+    qforms = (still.select(F.col("name_l").alias("name")).distinct()
+              .withColumn("norm_name", F.col("name"))
+              .withColumn("er_type", F.lit("query"))
+              .withColumn("form_key", F.concat(F.lit("q#"), F.col("name"))))
+    cand = containment_candidates(
+        forms_c.select("er_type", "name", "norm_name", "form_key"), qforms)
+    # per (query, cluster): earliest matching member = the cluster's
+    # availability point (canonical from creation, aliases from their merge)
+    scored = (cand.join(forms_c.select(F.col("form_key").alias("m_key"),
+                                       F.col("component").alias("comp")),
+                        "m_key")
+              .groupBy("q_name", "comp")
+              .agg(F.min("m_key").alias("avail_key")))
+    j = (still.join(scored, still.name_l == scored.q_name)
+         .filter(F.substring_index("avail_key", "#", 1) <= F.col("conv_id")))
+    w = Window.partitionBy("conv_id", "name_l").orderBy(F.asc("comp"))
+    glob = (j.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("conv_id", "name_l", F.col("comp").alias("component")))
+    return resolved.unionByName(glob)
 
 
 def materialize_edges(raw_triples: DataFrame, mention_map: DataFrame) -> DataFrame:

@@ -134,14 +134,19 @@ def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
 
     # entity_search (default); zero-result mention filters fall back to the
     # bare type search (the reference's schema-exploration fallback shape,
-    # nl_query.py:1192-1304, deterministic subset)
+    # nl_query.py:1192-1304, deterministic subset).  The fallback is decided
+    # INSIDE the plan — a broadcast 1-row any-match aggregate — so the whole
+    # entity query is one Spark action (the earlier limit(1).count() probe
+    # was a second action, doubling interactive latency).
     out = nodes
     if etypes:
         out = out.filter(F.col("type").isin(*etypes))
     if mentions:
-        narrowed = out.filter(name_match(F.col("canonical_name")))
-        if narrowed.limit(1).count() > 0:
-            out = narrowed
+        flagged = out.withColumn("_m", name_match(F.col("canonical_name")))
+        any_m = flagged.agg(F.max("_m").alias("_any"))
+        out = (flagged.crossJoin(F.broadcast(any_m))
+               .filter(F.col("_m") | ~F.col("_any"))
+               .drop("_m", "_any"))
     return out.select("id", "canonical_name", "type").limit(limit)
 
 

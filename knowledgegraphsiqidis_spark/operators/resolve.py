@@ -33,7 +33,7 @@ silently exploding the self-join.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, Window, functions as F, types as T
 
 from ..functions.textops import name_similarity
 
@@ -240,7 +240,8 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                 max_block: int = DEFAULT_MAX_BLOCK,
                 canonical_rounds: int = 3,
                 emb_confirm: float | None = None,
-                return_queue: bool = False):
+                return_queue: bool = False,
+                return_artifacts: bool = False):
     """Accepted match pairs (key_a, key_b) for connected components.
 
     Two reference-resolver behaviors are replicated
@@ -300,14 +301,20 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
     edges = accept(winners)
     prev_sig = None
     for _ in range(canonical_rounds):
-        edges = edges.localCheckpoint()
-        sig = edges.agg(
-            F.count("*"),
-            F.coalesce(F.expr("bit_xor(xxhash64(key_a, key_b))"), F.lit(0))
-        ).collect()[0]
-        if (sig[0], sig[1]) == prev_sig:
+        # The convergence signature rides the SAME Spark job as the round's
+        # localCheckpoint (Observation metrics are filled by the checkpoint
+        # action) — the earlier separate .agg().collect() cost one extra
+        # scheduler round-trip per round, a core-count-independent latency
+        # term that capped N→4N scaling efficiency.
+        obs = Observation()
+        edges = edges.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(key_a, key_b))"),
+                       F.lit(0)).alias("h")).localCheckpoint()
+        sig = (obs.get["n"], obs.get["h"])
+        if sig == prev_sig:
             break
-        prev_sig = (sig[0], sig[1])
+        prev_sig = sig
         canon_of = _forest_roots(edges)  # (form_key, canon_key); exact —
         # the argmax edge set is a functional forest pointing later → earlier
         canon_names = forms.select(F.col("form_key").alias("canon_key"),
@@ -331,11 +338,18 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
         winners = best_candidates(rescored)
         edges = accept(winners)
     edges = edges.select("key_a", "key_b")
-    if not return_queue:
+    if not return_queue and not return_artifacts:
         return edges
     confirm = emb_confirm if emb_confirm is not None else 0.0
-    queue = (winners
-             .withColumn("emb_cos", _pair_emb_cosine("canon_name", "name_b"))
+    # the final-round winners with their embedding cosine are the observable
+    # band input: queue = winners in the ambiguous 0.8-0.9 band the embedding
+    # did not confirm (extraction_pipeline.py:686-691); return_artifacts
+    # exposes the same table so an external oracle can re-derive the band
+    # thresholds independently
+    winners_emb = (winners
+                   .withColumn("emb_cos",
+                               _pair_emb_cosine("canon_name", "name_b")))
+    queue = (winners_emb
              .filter((F.col("score") < 0.9) & (F.col("emb_cos") < confirm))
              .select(F.col("key_b").alias("form_key"),
                      F.col("name_b").alias("surface_text"),
@@ -344,12 +358,17 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                          F.col("canon_key").alias("candidate_key"),
                          F.round("score", 4).alias("score"))).alias("candidates"),
                      F.lit("pending").alias("status")))
+    if return_artifacts:
+        artifacts = winners_emb.select(
+            "key_b", "name_b", "canon_key", "canon_name", "score", "emb_cos")
+        return edges, queue, artifacts
     return edges, queue
 
 
 def knn_fallback_edges(forms: DataFrame, resolved_keys: DataFrame,
                        knn_threshold: float = 0.7, dim: int = 64,
-                       queue_floor: float = 0.5):
+                       queue_floor: float = 0.5,
+                       return_scored: bool = False):
     """Embedding-kNN candidate source for forms with NO name-based match —
     the reference's vector-store fallback (extraction_pipeline.py:695-727):
     candidates above RESOLUTION_CONFIDENCE_THRESHOLD (0.7, config.py:68) with
@@ -359,8 +378,16 @@ def knn_fallback_edges(forms: DataFrame, resolved_keys: DataFrame,
     Spark shape: banded cosine LSH over the form embeddings replaces the
     FAISS scan — the candidate join is bucket-equi, never all-pairs.
     Returns (edges, queue).
+
+    Document forms are excluded on BOTH sides (mirroring candidate_pairs /
+    containment_candidates): the reference inserts Document entities
+    directly, never through the resolver (extraction_pipeline.py:600-612),
+    and machine-generated per-conversation ``Doc_*`` names are near-identical
+    under the trigram embedding (cosine ≈ 0.89 > 0.85), so embedding them
+    would silently merge distinct conversations' Document entities.
     """
     from .similarity import lsh_cosine_pairs
+    forms = forms.filter(F.col("er_type") != "Document")
     emb = forms.select(
         "form_key", "name", "er_type",
         _embed_udf(F.concat_ws(" ", "name", "er_type")).alias("embedding"))
@@ -397,58 +424,128 @@ def knn_fallback_edges(forms: DataFrame, resolved_keys: DataFrame,
              .filter(F.col("_rk") <= 3)
              .groupBy(F.col("id_b").alias("form_key"),
                       F.col("name_b").alias("surface_text"))
-             .agg(F.array_sort(F.collect_list(F.struct(
-                 F.col("id_a").alias("candidate_key"),
-                 F.round("cosine", 4).alias("score")))).alias("candidates"))
+             # best-first, like the reference's resolution_queue candidate
+             # ranking (database.py:517-530): score desc, key asc on ties —
+             # sort on (-score, key) then strip the sort prefix
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     (-F.col("cosine")).alias("_neg"),
+                     F.col("id_a").alias("candidate_key"),
+                     F.round("cosine", 4).alias("score")))),
+                 lambda s: F.struct(
+                     s.candidate_key.alias("candidate_key"),
+                     s.score.alias("score"))).alias("candidates"))
              .select("form_key", "surface_text",
                      F.lit("knn_unconfirmed").alias("reason"), "candidates",
                      F.lit("pending").alias("status")))
+    if return_scored:
+        # post-anti-join scored candidates — the observable input an
+        # external oracle re-derives the kNN accept/queue bands from
+        return edges, queue, scored.select("id_a", "id_b", "name_b",
+                                           "type_a", "type_b", "cosine",
+                                           "name_score")
     return edges, queue
 
 
 def resolve_with_queue(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                        max_block: int = DEFAULT_MAX_BLOCK,
                        emb_confirm: float = 0.6,
-                       knn_threshold: float = 0.7):
+                       knn_threshold: float = 0.7,
+                       return_artifacts: bool = False):
     """Full three-band resolution with the embedding confirmer enabled:
     name-band merges (≥0.9, and 0.8-0.9 embedding-confirmed), kNN-fallback
     merges, and the resolution queue for everything ambiguous.  Returns
     (match_edges, queue).  The default pipeline keeps the no-embedding
     deterministic behavior (reference behavior with an empty vector store);
     this entry point is the with-embeddings analogue.
+
+    ``return_artifacts=True`` additionally returns
+    ``{"name_winners": ..., "knn_scored": ...}`` — the pre-band scored
+    candidate tables, so an external oracle (DuckDB) can re-derive the
+    accept/queue thresholds independently of this code.
     """
-    name_edges, name_queue = match_edges(
+    name_edges, name_queue, name_winners = match_edges(
         forms, threshold=threshold, max_block=max_block,
-        emb_confirm=emb_confirm, return_queue=True)
+        emb_confirm=emb_confirm, return_queue=True, return_artifacts=True)
     # Forms already merged or queued by the name band never reach the kNN
     # fallback (the reference queues + creates the entity and moves on).
     resolved = (name_edges.select("key_b")
                 .unionByName(name_queue.select(F.col("form_key")
                                                .alias("key_b"))))
-    knn_edges, knn_queue = knn_fallback_edges(
-        forms, resolved, knn_threshold=knn_threshold)
-    return (name_edges.unionByName(knn_edges),
-            name_queue.unionByName(knn_queue))
+    knn_edges, knn_queue, knn_scored = knn_fallback_edges(
+        forms, resolved, knn_threshold=knn_threshold, return_scored=True)
+    edges = name_edges.unionByName(knn_edges)
+    queue = name_queue.unionByName(knn_queue)
+    if return_artifacts:
+        return edges, queue, {"name_winners": name_winners,
+                              "knn_scored": knn_scored}
+    return edges, queue
 
 
-def _forest_roots(edges: DataFrame, max_doubling: int = 4) -> DataFrame:
+def _forest_roots(edges: DataFrame, max_chain: int = 6) -> DataFrame:
     """(form_key → root form_key) for a functional forest where every edge
-    points from a later key_b to an earlier key_a — path doubling, exact in
-    ⌈log2 depth⌉ joins (the root is the tree's minimum key since every
-    parent precedes its child).
+    points from a later key_b to an earlier key_a (the root is the tree's
+    minimum key since every parent precedes its child).  ``edges`` must have
+    UNIQUE key_b (the argmax resolvers guarantee ≤1 parent per form).
 
-    Built LAZILY as one plan of ``max_doubling`` self-joins (covers chain
-    depth 2^max_doubling = 16; argmax-forest chains are 2-3 deep in
-    practice): the earlier per-iteration checkpoint + convergence-count
-    version cost ~10 scheduler round-trips per ER round, a core-count-
-    independent latency tax that capped N→4N scaling efficiency.
+    Built LAZILY as one plan of ``max_chain`` joins against the ONE-level
+    parent map (covers chain depth max_chain+1 = 7; argmax-forest chains are
+    2-3 deep in practice): the earlier per-iteration checkpoint +
+    convergence-count version cost ~10 scheduler round-trips per ER round, a
+    core-count-independent latency tax that capped N→4N scaling efficiency.
+
+    Linear chaining, NOT path doubling, on purpose: a k-level self-join
+    doubling tree multiplies Catalyst's sizeInBytes estimate by ~2^k per
+    application, and ``localCheckpoint`` PROPAGATES the source plan's stats
+    into the checkpointed leaf (LogicalRDD.rewriteStatsAndConstraints) — so
+    across canonical rounds the exponent compounds until the planner spends
+    MINUTES multiplying million-digit BigIntegers (observed live: jstack
+    showed SizeInBytesOnlyStatsPlanVisitor inside BigInteger.multiply for
+    8+ min at sf0.001).  Linear steps grow the exponent by +1 per level and
+    stay planner-cheap; runtime cost is the same single lazy job either way
+    (ReuseExchange dedupes the shared parent scan).
+
+    No-silent-cap guard: a chain deeper than max_chain+1 would silently map
+    forms to a NON-root ancestor (wrong canonical, wrong rescoring) — so
+    the returned canon_key column carries an ``assert_true`` that the mapped
+    ancestor never itself appears as a child (key_b) in the edge set.  The
+    check executes inside whatever job first consumes canon_key (zero extra
+    scheduler round-trips); consumers must not drop the column unconsumed
+    (column pruning would elide the assertion — every current caller joins
+    or aggregates on canon_key).
     """
+    parent = edges.select(F.col("key_b").alias("canon_key"),
+                          F.col("key_a").alias("grand"))
     m = edges.select(F.col("key_b").alias("form_key"),
                      F.col("key_a").alias("canon_key"))
-    for _ in range(max_doubling):
-        parent = m.select(F.col("form_key").alias("canon_key"),
-                          F.col("canon_key").alias("grand"))
+    for _ in range(max_chain):
         m = (m.join(parent, "canon_key", "left")
              .select("form_key", F.coalesce("grand", "canon_key")
                      .alias("canon_key")))
-    return m
+    children = (edges.select(F.col("key_b").alias("canon_key"))
+                .withColumn("_is_child", F.lit(True)))
+    return (m.join(children, "canon_key", "left")
+            .select("form_key",
+                    F.when(F.assert_true(
+                        F.col("_is_child").isNull(),
+                        F.lit("forest_roots: chain deeper than "
+                              f"{max_chain + 1} — raise max_chain")
+                    ).isNull(), F.col("canon_key")).alias("canon_key")))
+
+
+def forest_components(matches: DataFrame) -> DataFrame:
+    """(node, component) for an argmax-forest match-edge set — the ER
+    canonicalization special case of connected components.
+
+    Every accepted edge points later → strictly earlier (key_a < key_b) and
+    each key_b has exactly one parent, so components ARE the forest's trees
+    and the representative (min key) IS the tree root: one lazy chain-
+    resolution plan replaces the general large-star/small-star iteration
+    (~8 checkpointed rounds × 2 jobs at 300k-conversation scale — the single
+    largest core-count-independent job-count term in the pipeline).  Roots are not
+    returned (callers coalesce to the node's own key, same contract as
+    ``components.connected_components``).  The general kernel remains for
+    arbitrary graphs (analytics.clusters).
+    """
+    return _forest_roots(matches).select(
+        F.col("form_key").alias("node"), F.col("canon_key").alias("component"))

@@ -55,7 +55,8 @@ def _done(path: str) -> bool:
 class KGPipeline:
     def __init__(self, spark: SparkSession, out_dir: str | None = None,
                  threshold: float = 0.8, max_block: int = 200,
-                 lineage: bool = True, with_queue: bool = False):
+                 lineage: bool = True, with_queue: bool = False,
+                 tier4_global: bool = False):
         """with_queue=True switches ER to the embedding-confirmed three-band
         resolver (resolve.resolve_with_queue): 0.8-0.9 matches need the
         embedding confirm, unconfirmed/ambiguous forms land in a
@@ -68,6 +69,10 @@ class KGPipeline:
         self.max_block = max_block
         self.lineage = lineage and out_dir is not None
         self.with_queue = with_queue
+        # tier4_global: opt-in J9 tier-4 cross-conversation LIKE fallback
+        # for unresolved triple endpoints / fact related names
+        # (materialize.resolve_names docstring)
+        self.tier4_global = tier4_global
         # Iceberg catalog when the session has one configured (K1); the
         # parquet directory layout otherwise — one switch point, same
         # pipeline code under both (catalog.py).
@@ -78,10 +83,21 @@ class KGPipeline:
     def _path(self, stage: str) -> str:
         return os.path.join(self.out_dir, stage)
 
-    def _stage_done(self, stage: str) -> bool:
+    def _stage_done(self, stage: str, conv_col: str | None = None) -> bool:
         if self._parquet:
             return _done(self._path(stage))
-        return self.catalog.exists(stage)
+        if not self.catalog.exists(stage):
+            return False
+        if self.lineage and conv_col:
+            # Iceberg has no done-marker file: a lineage-bearing stage counts
+            # as done only once its lineage table ALSO exists (lineage is
+            # written after the stage table), so a crash between the two
+            # writes reruns the stage idempotently instead of silently
+            # resuming with the lineage rows missing.
+            if (conv_col in self.catalog.read(self.spark, stage).columns
+                    and not self.catalog.exists(f"lineage_{stage}")):
+                return False
+        return True
 
     def _checkpoint(self, build, stage: str,
                     conv_col: str | None = "conv_id") -> DataFrame:
@@ -105,7 +121,7 @@ class KGPipeline:
                 print(f"[kg-timing] {stage}: {time.time() - t0:.1f}s",
                       file=sys.stderr, flush=True)
             return out
-        if not self._stage_done(stage):
+        if not self._stage_done(stage, conv_col):
             out = build()
             self.catalog.write(out, stage)
             if self.lineage and conv_col and conv_col in out.columns:
@@ -159,7 +175,8 @@ class KGPipeline:
         occ_map = None
         if (self.out_dir is not None and self._stage_done("forms")
                 and self._stage_done("nodes")
-                and (self.with_queue or self._stage_done("occurrences"))
+                and (self.with_queue
+                     or self._stage_done("occurrences", "conv_id"))
                 and (not self.with_queue
                      or self._stage_done("resolution_queue"))):
             forms_c = self.catalog.read(self.spark, "forms")
@@ -206,7 +223,8 @@ class KGPipeline:
             # two consumers of the resolved map → pin it (thunk: resume
             # skips the whole resolution when the edges stage exists)
             mention_map = materialize.resolve_names(
-                targets, ext, forms_c, occ_map=occ_map).localCheckpoint()
+                targets, ext, forms_c, occ_map=occ_map,
+                global_fallback=self.tier4_global).localCheckpoint()
             return (materialize.materialize_edges(raw, mention_map)
                     .unionByName(materialize.fact_about_edges(ext,
                                                               mention_map)))

@@ -42,6 +42,10 @@ EXTRACTIONS = T.StructType([
     # sentence; related = the entity names _store_facts links `about` edges to
     T.StructField("fact_type", T.StringType()),
     T.StructField("related", T.ArrayType(T.StringType())),
+    # kind == "party" rows with attorney/executive roles carry the client /
+    # company name the G4 rules 3/5 target (semantic_extractor.py:636-664);
+    # null for caption parties and every other kind
+    T.StructField("hint", T.StringType()),
 ])
 
 RAW_TRIPLES = T.StructType([

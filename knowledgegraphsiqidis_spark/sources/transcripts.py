@@ -113,7 +113,7 @@ def _conversation_turns(conv_i: int, n_turns: int, rng: np.random.RandomState) -
     ]
 
     for t in range(1, n_turns):
-        kind = rng.randint(10)
+        kind = rng.randint(12)
         if kind == 0:
             term = ["Aircraft", "Agreement", "Closing Date", "Purchase Price",
                     "Deliverables", "Effective Period"][rng.randint(6)]
@@ -165,6 +165,21 @@ def _conversation_turns(conv_i: int, n_turns: int, rng: np.random.RandomState) -
             turns.append(
                 f"{claimant} paid ${amount:,} to {respondent} under the "
                 f"master agreement."
+            )
+        elif kind == 8:
+            # attorney role-property sentence (G4 rule 3 trigger:
+            # textops.extract_entity_props → represents)
+            person = _person_name(rng)
+            turns.append(
+                f"{person}, counsel for {claimant}, entered an appearance "
+                f"on the record."
+            )
+        elif kind == 9:
+            # executive role-property sentence (G4 rule 5 trigger:
+            # employed_by)
+            person = _person_name(rng)
+            turns.append(
+                f"{person}, CEO of {respondent}, signed the master agreement."
             )
         else:
             turns.append(_FILLER[rng.randint(len(_FILLER))])

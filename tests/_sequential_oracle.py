@@ -103,6 +103,18 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
                 properties={"definition": t.definition, "source": "structural"},
                 span_text=t.term, confidence=1.0)
             for t in structural.defined_terms
+        ] + [
+            # role-property persons (deterministic stand-in for LLM-produced
+            # entity properties): client hint for attorney roles, company
+            # hint for executive roles — the exact property keys the
+            # reference's rules 3/5 read (semantic_extractor.py:636-664)
+            ref.ExtractedEntity(
+                name=p["name"], type="Person",
+                properties={"role": p["role"],
+                            ("client" if p["role"] in _textops.ATTORNEY_ROLES
+                             else "company"): p["hint"]},
+                span_text=p["name"], confidence=1.0)
+            for p in _textops.extract_entity_props(doc)
         ]
 
         relations = ref.RelationshipInferrer.infer_relationships(

@@ -67,6 +67,40 @@ def test_contradictions(spark):
     assert ("f4", "f5") in got  # conflicting years with high overlap
 
 
+def test_contradictions_hot_token_cap(spark):
+    """A token planted across every fact must not blow up the candidate
+    join: with max_df below the planted df the blocker drops it (and
+    hot_tokens surfaces it); overlap then counts only sub-cap tokens."""
+    rows = [(f"h{i}",
+             f"boilerplate header common to all facts unique{i} tail{i}")
+            for i in range(40)]
+    rows += [("p1", "the deposit did clear on 2020 schedule alpha beta"),
+             ("p2", "the deposit did not clear on 2020 schedule alpha beta")]
+    facts = spark.createDataFrame(rows, "fact_id string, text string")
+    # uncapped: the 40 planted facts share 6 hot tokens -> 780 blocked pairs
+    uncapped = inference.contradictions(facts, max_df=None)
+    # capped at 10: hot tokens dropped entirely; only the p1/p2 pair (7
+    # shared sub-cap tokens) survives blocking
+    capped = inference.contradictions(facts, max_df=10).collect()
+    hot = {r["w"] for r in inference.hot_tokens(facts, max_df=10).collect()}
+    assert {"boilerplate", "header", "common", "to", "all", "facts"} <= hot
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {("p1", "p2")}
+    # sub-quadratic evidence: capped candidate blocking visits far fewer
+    # pairs than the uncapped hot-token cross product
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 1  # p1/p2 still found uncapped
+    w = inference._fact_words(facts, "fact_id", "text")
+    dfc = (w.groupBy("w").agg(F.count("*").alias("df")).filter(F.col("df") <= 10)
+           .select("w"))
+    capped_cand = (w.join(dfc, "w", "left_semi").alias("a")
+                   .join(w.join(dfc, "w", "left_semi").alias("b"), "w")
+                   .filter(F.col("a.id") < F.col("b.id")).count())
+    uncapped_cand = (w.alias("a").join(w.alias("b"), "w")
+                     .filter(F.col("a.id") < F.col("b.id")).count())
+    assert capped_cand < uncapped_cand / 10
+
+
 def test_fact_corroboration(spark):
     facts = spark.createDataFrame(
         [("f1", "payment was made in full", "obligation"),

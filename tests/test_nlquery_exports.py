@@ -66,6 +66,46 @@ def test_execute_entity_search(spark, graph):
     assert names == {"ACME Corporation", "Globex LLC"}
 
 
+def test_entity_search_fallback_and_single_action(spark, graph):
+    """The zero-result mention fallback must (a) return the bare type search
+    and (b) run as ONE Spark action — the in-plan any-match aggregate, not a
+    separate count() probe (each action is a scheduler round-trip at an
+    interactive surface)."""
+    nodes, edges, _ = graph
+    # mention matches nothing -> falls back to all Organizations
+    interp = {"query_type": "entity_search", "entities_mentioned": ["Zzzz"],
+              "entity_types_requested": ["Organization"], "filters": {}}
+    sc = spark.sparkContext
+    # AQE materializes each query stage as its own job, which would blur the
+    # action count — turn it off for the assertion (plan shape, not perf)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # baseline: the same search with no mention filter (no fallback
+        # machinery) — its job count is what one collect costs here
+        # (CollectLimit may run incrementally, so measure, don't assume)
+        sc.setJobGroup("nlq-base", "baseline")
+        base_interp = dict(interp, entities_mentioned=[])
+        nlquery.execute_query(base_interp, nodes, edges).collect()
+        n_base = len(sc.statusTracker().getJobIdsForGroup("nlq-base"))
+        sc.setJobGroup("nlq-single-action", "fallback probe")
+        out = nlquery.execute_query(interp, nodes, edges).collect()
+        jobs = sc.statusTracker().getJobIdsForGroup("nlq-single-action")
+        sc.setJobGroup(None, None)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert {r["canonical_name"] for r in out} == \
+        {"ACME Corporation", "Globex LLC"}
+    # single action: the in-plan fallback adds at most the broadcast-build
+    # job on top of the baseline collect — never a second action's worth
+    # (the old probe-then-collect shape ran >= 2*n_base jobs)
+    assert len(jobs) <= n_base + 1, (jobs, n_base)
+    # mention matches -> narrowed result, same single-action plan
+    interp["entities_mentioned"] = ["Acme"]
+    got = {r["canonical_name"]
+           for r in nlquery.execute_query(interp, nodes, edges).collect()}
+    assert got == {"ACME Corporation"}
+
+
 def test_execute_relationship(spark, graph):
     nodes, edges, _ = graph
     out = nlquery.query("What is the relationship between Acme and others?",
