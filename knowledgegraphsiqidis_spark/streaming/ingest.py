@@ -1,39 +1,41 @@
 """Structured Streaming ingest (optional extension — SURVEY.md §2.9).
 
 The reference is purely batch (SURVEY.md §1.3); the streaming surface here
-ingests newly-landed transcript files and runs the SAME batch stage
-functions per micro-batch via ``foreachBatch`` — one code path for batch
-and streaming, the recommended Spark pattern for stateful pipelines whose
-logic is batch-shaped (extraction is per-conversation, so a conversation is
-assumed complete within a micro-batch file; cross-batch ER incrementality
-is handled by the pipeline's checkpoint tables).
+ingests newly-landed transcript files via ``foreachBatch`` into ONE
+continuously-growing graph: each micro-batch's new surface forms resolve
+against the cumulative canonical store (``streaming.incremental`` — the
+reference's resolve-against-growing-store semantics,
+extraction_pipeline.py:615-733, at batch granularity).  A conversation is
+assumed complete within a micro-batch file, and files must arrive in
+conv_id order (asserted, not assumed — IncrementalKG raises on
+non-monotonic batches).
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..plans.pipeline import KGPipeline
 from ..schemas import TRANSCRIPTS
+from .incremental import IncrementalKG
 
 
 def stream_transcripts(spark: SparkSession, input_dir: str,
                        out_dir: str, checkpoint_dir: str,
                        trigger_once: bool = True):
-    """readStream over a transcript parquet directory → pipeline per batch.
+    """readStream over a transcript parquet directory → incremental KG.
 
-    Each micro-batch appends its extraction + triple outputs under
-    ``out_dir/batch=<id>/``; stage lineage goes to the same layout.
+    State layout under ``out_dir``: ``extractions/batch=<id>`` (append),
+    ``matches`` + ``nodes`` (current cumulative), ``edges/batch=<id>``
+    (append).  ``IncrementalKG(spark, out_dir).triples()`` reads the whole
+    graph at any point.
     """
     stream = (spark.readStream
               .schema(TRANSCRIPTS)
               .option("maxFilesPerTrigger", 8)
               .parquet(input_dir))
+    kg = IncrementalKG(spark, out_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        if batch_df.isEmpty():
-            return
-        KGPipeline(batch_df.sparkSession,
-                   out_dir=f"{out_dir}/batch={batch_id}").run(batch_df)
+        kg.process_batch(batch_df, batch_id)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -50,22 +50,66 @@ def test_lineage_rows_cover_stages(spark, tdf, tmp_path):
     assert row == spark.read.parquet(os.path.join(out, "extractions")).count()
 
 
+def test_incremental_two_batches_equal_single_run(spark, tmp_path):
+    """The cross-batch incremental ER contract: a corpus split into two
+    monotonic micro-batches produces the IDENTICAL triple set as the
+    single-batch run (reference resolve-against-growing-store semantics,
+    extraction_pipeline.py:615-733)."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+    pdf = transcripts_pdf(30, seed=5)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    expected = {tuple(r) for r in run_pipeline(spark, full)
+                .triples().collect()}
+    assert expected
+
+    cut = "conv-00000015"
+    kg = IncrementalKG(spark, str(tmp_path / "ikg"))
+    kg.process_batch(full.filter(F.col("conv_id") < cut))
+    kg.process_batch(full.filter(F.col("conv_id") >= cut))
+    got = {tuple(r) for r in kg.triples().collect()}
+    assert got == expected
+
+    # entities resolved ACROSS batches: some batch-2 edge endpoint must land
+    # in a cluster whose canonical comes from batch 1 (no graph islands)
+    nodes = kg.nodes()
+    cross = (kg.edges()
+             .join(nodes.select(F.col("id").alias("src"),
+                                F.col("canonical_name").alias("cn")), "src")
+             .filter(F.col("provenance_doc_id") >= cut)
+             # entity cluster ids are form keys "conv-...#seq" (fact ids are
+             # hashes); root conv before the cut = canonical from batch 1
+             .filter(F.col("src").startswith("conv-")
+                     & (F.substring_index(F.col("src"), "#", 1) < cut)))
+    assert cross.count() > 0
+
+    # non-monotonic arrival must raise, not silently corrupt
+    with pytest.raises(Exception, match="non-monotonic"):
+        kg.process_batch(full.filter(F.col("conv_id") < cut))
+
+
 def test_streaming_ingest(spark, tmp_path):
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
     from knowledgegraphsiqidis_spark.streaming.ingest import stream_transcripts
     in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
     os.makedirs(in_dir)
     pdf = transcripts_pdf(12, seed=9)
-    spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL) \
-        .write.mode("overwrite").parquet(in_dir)
+    tdf = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    # one file per conv-contiguous chunk, written in conv order (the
+    # documented arrival contract: conversations complete per file,
+    # files land in conv_id order)
+    tdf.filter(F.col("conv_id") < "conv-00000006").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    tdf.filter(F.col("conv_id") >= "conv-00000006").coalesce(1) \
+        .write.mode("append").parquet(in_dir)
 
     q = stream_transcripts(spark, in_dir, out_dir, ckpt, trigger_once=True)
     q.awaitTermination(300)
-    batch_dirs = glob.glob(os.path.join(out_dir, "batch=*"))
-    assert batch_dirs
-    edges = spark.read.parquet(os.path.join(batch_dirs[0], "edges"))
-    assert edges.count() > 0
+    kg = IncrementalKG(spark, out_dir)
+    n_edges = kg.edges().count()
+    assert n_edges > 0
+    assert glob.glob(os.path.join(out_dir, "edges", "batch=*"))
 
-    # second trigger with no new files → no new batches with data
+    # second trigger with no new files → nothing new lands in the graph
     q2 = stream_transcripts(spark, in_dir, out_dir, ckpt, trigger_once=True)
     q2.awaitTermination(300)
-    assert len(glob.glob(os.path.join(out_dir, "batch=*"))) == len(batch_dirs)
+    assert kg.edges().count() == n_edges
