@@ -513,26 +513,50 @@ def _q_kg_all_paths(spark, sf):
 
 
 def _q_kg_disambiguate(spark, sf):
-    """F7 disambiguation tiers over the built graph (rows-only: tier scoring
-    is a pandas UDF; exact parity vs the reference's
-    _compute_entity_match_score is pytest-verified, test_f7_match.py)."""
+    """F7 disambiguation tiers over the built graph — oracled by an
+    independent SQL re-derivation of the tier scores (_kg_disambiguate_sql);
+    exact parity vs the reference's _compute_entity_match_score is
+    additionally pytest-verified (test_f7_match.py)."""
     from knowledgegraphsiqidis_spark.operators.nlquery import disambiguate
     r = _kg(spark, sf)
     return disambiguate("gulfstream", r.tables["nodes"], r.tables["aliases"],
                         k=10)
 
 
-def _q_kg_resolution_queue(spark, sf):
-    """Three-band ER with the embedding confirmer: ambiguous 0.8-0.9 matches
-    that the embedding does not confirm, plus unaccepted kNN candidates,
-    land in the resolution queue (reference resolution_queue table,
-    database.py:517-530).  Rows-only: pair scoring + hash embeddings are not
-    SQL; band semantics are pytest-verified (test_resolution_queue.py)."""
+_KG_QUEUE_CACHE: dict = {}
+
+
+def _kg_queue(spark, sf):
+    """Memoized three-band resolution build (shared by the queue + rate
+    queries — it is the expensive embedding-confirmed ER).  Dumps the
+    pre-band scored-candidate artifacts (er_forms, er_winners, knn_scored)
+    so the DuckDB oracles can re-derive the accept/queue band thresholds
+    (extraction_pipeline.py:646-727) independently of the engine."""
+    if sf in _KG_QUEUE_CACHE:
+        return _KG_QUEUE_CACHE[sf]
     from knowledgegraphsiqidis_spark.operators.resolve import (
         entity_forms, resolve_with_queue)
     r = _kg(spark, sf)
     forms = entity_forms(r.tables["extractions"]).localCheckpoint()
-    _, queue = resolve_with_queue(forms)
+    edges, queue, art = resolve_with_queue(forms, return_artifacts=True)
+    dump = os.path.join(_KG_DUMP_ROOT, os.path.basename(sf.rstrip("/")))
+    for name, df in (("er_forms", forms),
+                     ("er_winners", art["name_winners"]),
+                     ("knn_scored", art["knn_scored"])):
+        df.write.mode("overwrite").parquet(os.path.join(dump, name))
+    out = (forms, edges.localCheckpoint(), queue.localCheckpoint())
+    _KG_QUEUE_CACHE[sf] = out
+    return out
+
+
+def _q_kg_resolution_queue(spark, sf):
+    """Three-band ER with the embedding confirmer: ambiguous 0.8-0.9 matches
+    that the embedding does not confirm, plus unaccepted kNN candidates,
+    land in the resolution queue (reference resolution_queue table,
+    database.py:517-530).  Oracled: the band thresholds are re-derived as
+    DuckDB SQL over the dumped pre-band artifacts (_kg_queue_sql); band
+    semantics are additionally pytest-verified (test_resolution_queue.py)."""
+    _, _, queue = _kg_queue(spark, sf)
     return (queue.select("form_key", "surface_text", "reason",
                          F.explode("candidates").alias("c"), "status")
             .select("form_key", "surface_text", "reason",
@@ -542,12 +566,9 @@ def _q_kg_resolution_queue(spark, sf):
 
 def _q_kg_resolution_rate(spark, sf):
     """A9: resolution success rate (server.py:2145 analogue) — fraction of
-    surface forms resolved without queueing under the three-band resolver."""
-    from knowledgegraphsiqidis_spark.operators.resolve import (
-        entity_forms, resolve_with_queue)
-    r = _kg(spark, sf)
-    forms = entity_forms(r.tables["extractions"]).localCheckpoint()
-    edges, queue = resolve_with_queue(forms)
+    surface forms resolved without queueing under the three-band resolver.
+    Oracled over the same dumped artifacts (_kg_rate_sql)."""
+    forms, edges, queue = _kg_queue(spark, sf)
     n_forms = forms.count()
     n_merged = edges.select("key_b").distinct().count()
     n_queued = queue.select("form_key").distinct().count()
@@ -823,6 +844,117 @@ SELECT id, canonical_name, type,
 FROM scored"""
 
 
+def _kg_disambiguate_sql(q: str = "gulfstream", k: int = 10) -> str:
+    """F7 disambiguation tiers (nl_query.py:298-349) as pure DuckDB SQL over
+    the nodes+aliases dump — independent re-derivation of
+    nlquery.entity_match_score: exact 1.0 > suffix-normalized 0.95 >
+    [acronym 0.9 — never fires for a lowercase query like {q!r}] >
+    substring coverage (0.7 q-in-name / 0.6 name-in-q, elif) maxed with
+    word overlap (0.5) and alias tiers (exact 0.85 / containment 0.6).
+    """
+    from knowledgegraphsiqidis_spark.operators.nlquery import _F7_SUFFIXES
+    nodes, aliases = _kg_rp("nodes"), _kg_rp("aliases")
+
+    def norm(expr: str) -> str:
+        out = expr
+        for suf in _F7_SUFFIXES:
+            out = f"replace({out}, '{suf}', '')"
+        return f"trim({out})"
+
+    qn = norm(f"'{q}'")
+    qw = ", ".join(f"'{w}'" for w in q.lower().split())
+    contains = (f"(en LIKE '%{q}%' OR position(en IN '{q}') > 0)")
+    sub_score = (
+        f"CASE WHEN en LIKE '%{q}%' THEN {len(q)}.0 / len(en) * 0.7 "
+        f"WHEN position(en IN '{q}') > 0 THEN len(en) / {len(q)}.0 * 0.6 "
+        f"ELSE 0.0 END")
+    # Python uses word SETS (set(name.split())) — dedup both sides
+    ew = "list_distinct(string_split_regex(en, '\\s+'))"
+    overlap = f"len(list_intersect({ew}, [{qw}]))"
+    ov_score = (f"CASE WHEN {overlap} > 0 THEN {overlap} * 0.5 / "
+                f"greatest(len({ew}), {len(set(q.split()))}) "
+                f"ELSE 0.0 END")
+    alias_score = (
+        "coalesce(list_max(list_transform(als, a -> "
+        f"CASE WHEN lower(a) = '{q}' THEN 0.85 "
+        f"WHEN lower(a) LIKE '%{q}%' OR position(lower(a) IN '{q}') > 0 "
+        "THEN 0.6 ELSE 0.0 END)), 0.0)")
+    return f"""
+WITH al AS (
+  SELECT entity_id AS id, list(alias_text) AS als FROM {aliases} GROUP BY 1),
+cand AS (
+  SELECT n.id, n.canonical_name, n.type,
+         lower(n.canonical_name) AS en, coalesce(al.als, []) AS als
+  FROM {nodes} n LEFT JOIN al ON al.id = n.id
+  WHERE lower(n.canonical_name) LIKE '%{q}%'
+     OR position(lower(n.canonical_name) IN '{q}') > 0
+     OR len(list_filter(coalesce(al.als, []), a ->
+          lower(a) LIKE '%{q}%' OR position(lower(a) IN '{q}') > 0)) > 0),
+scored AS (
+  SELECT id, canonical_name, type,
+    CASE WHEN en = '{q}' THEN 1.0
+         WHEN {norm('en')} = {qn} THEN 0.95
+         ELSE greatest({sub_score}, {ov_score}, {alias_score})
+    END AS match_score
+  FROM cand)
+SELECT id, canonical_name, type, round(match_score, 6) AS match_score
+FROM scored ORDER BY match_score DESC, id LIMIT {k}"""
+
+
+def _kg_band_ctes(emb_confirm: float = 0.6, knn_threshold: float = 0.7,
+                  queue_floor: float = 0.5) -> str:
+    """Shared CTEs re-deriving the three-band accept/queue decisions
+    (extraction_pipeline.py:646-727) from the dumped pre-band artifacts:
+    er_winners (final-round name-band winners with embedding cosine) and
+    knn_scored (post-anti-join kNN candidates)."""
+    nw, ks = _kg_rp("er_winners"), _kg_rp("knn_scored")
+    return f"""
+nw AS MATERIALIZED (SELECT * FROM {nw}),
+ks AS MATERIALIZED (SELECT * FROM {ks}),
+name_acc AS (SELECT key_b FROM nw
+  WHERE score >= 0.9 OR emb_cos >= {emb_confirm}),
+name_q AS (
+  SELECT key_b AS form_key, name_b AS surface_text,
+         'ambiguous_band_unconfirmed' AS reason,
+         canon_key AS candidate_key, round(score, 4) AS score,
+         'pending' AS status
+  FROM nw WHERE score < 0.9 AND emb_cos < {emb_confirm}),
+knn_acc AS (SELECT id_b FROM (
+  SELECT id_b, row_number() OVER (PARTITION BY id_b
+         ORDER BY cosine DESC, id_a) AS rn
+  FROM ks WHERE cosine > {knn_threshold} AND type_a = type_b
+    AND (name_score > 0.6 OR cosine > 0.85)) WHERE rn = 1),
+knn_q AS (
+  SELECT id_b AS form_key, name_b AS surface_text,
+         'knn_unconfirmed' AS reason, id_a AS candidate_key,
+         round(cosine, 4) AS score, 'pending' AS status
+  FROM (SELECT ks.*, row_number() OVER (PARTITION BY id_b
+               ORDER BY cosine DESC, id_a) AS rn
+        FROM ks WHERE cosine > {queue_floor}
+          AND id_b NOT IN (SELECT id_b FROM knn_acc))
+  WHERE rn <= 3)"""
+
+
+def _kg_queue_sql() -> str:
+    return ("WITH " + _kg_band_ctes()
+            + " SELECT * FROM name_q UNION ALL SELECT * FROM knn_q")
+
+
+def _kg_rate_sql() -> str:
+    forms = _kg_rp("er_forms")
+    return ("WITH " + _kg_band_ctes() + f""",
+nf AS (SELECT count(*) AS n_forms FROM {forms}),
+merged AS (SELECT count(DISTINCT key_b) AS n_merged FROM
+  (SELECT key_b FROM name_acc UNION ALL SELECT id_b FROM knn_acc)),
+queued AS (SELECT count(DISTINCT form_key) AS n_queued FROM
+  (SELECT form_key FROM name_q UNION ALL SELECT form_key FROM knn_q))
+SELECT CAST(nf.n_forms AS BIGINT) AS n_forms,
+       CAST(merged.n_merged AS BIGINT) AS n_merged,
+       CAST(queued.n_queued AS BIGINT) AS n_queued,
+       round(1.0 - queued.n_queued / nf.n_forms, 6) AS resolution_rate
+FROM nf, merged, queued""")
+
+
 _NEG_PAIRS_SQL = [
     ("did", "did not"), ("was", "was not"), ("is", "is not"),
     ("has", "has not"), ("failed", "succeeded"), ("correct", "incorrect"),
@@ -845,8 +977,12 @@ WITH facts AS (
          CASE WHEN lang = 'en' THEN 'finding' ELSE 'allegation' END AS fact_type
   FROM documents),
 f AS (SELECT fact_id AS id, lower(text) AS txt FROM facts),
-words AS (SELECT id, unnest(list_distinct(
+words0 AS (SELECT id, unnest(list_distinct(
   string_split_regex(txt, '\\s+'))) AS w FROM f),
+-- mirror the engine's token df cap (inference.contradictions max_df=100):
+-- tokens shared by >100 facts are dropped from the inverted index
+words AS (SELECT words0.* FROM words0 WHERE w IN
+  (SELECT w FROM words0 GROUP BY w HAVING count(*) <= 100)),
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS overlap
   FROM words a JOIN words b ON a.w = b.w AND a.id < b.id
@@ -970,6 +1106,9 @@ def _kg_oracles() -> dict[str, str]:
             "SELECT hops, count(*) AS n_paths FROM "
             "(SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY hops",
         "kg_transitive": _kg_transitive_sql(),
+        "kg_disambiguate": _kg_disambiguate_sql(),
+        "kg_resolution_queue": _kg_queue_sql(),
+        "kg_resolution_rate": _kg_rate_sql(),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_importance": _kg_importance_sql(),
         "kg_bayes_resolve": _kg_bayes_sql(),
