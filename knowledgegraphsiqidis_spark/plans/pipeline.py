@@ -56,7 +56,7 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, out_dir: str | None = None,
                  threshold: float = 0.8, max_block: int = 200,
                  lineage: bool = True, with_queue: bool = False,
-                 tier4_global: bool = False):
+                 tier4_global: bool = False, codegen: bool | None = False):
         """with_queue=True switches ER to the embedding-confirmed three-band
         resolver (resolve.resolve_with_queue): 0.8-0.9 matches need the
         embedding confirm, unconfirmed/ambiguous forms land in a
@@ -73,6 +73,17 @@ class KGPipeline:
         # for unresolved triple endpoints / fact related names
         # (materialize.resolve_names docstring)
         self.tier4_global = tier4_global
+        # codegen: whole-stage-codegen setting DURING the pipeline run.
+        # Default False (interpreted mode): the graph phases are ~150 SHORT
+        # stages, and Janino compile latency per distinct stage shape is a
+        # fixed serial cost that binds exactly when per-stage data is small
+        # — measured at 40k conversations: local[8] 58s interpreted vs 76s
+        # compiled, local[2] unchanged (compile hides behind longer tasks).
+        # Pass codegen=True for deployments where per-stage data is large
+        # (≥ millions of rows per stage — e.g. the 10^12-turn design point,
+        # where a one-off ~20s compile budget is noise and codegen wins the
+        # heavy joins/sorts); None = leave the session setting untouched.
+        self.codegen = codegen
         # Iceberg catalog when the session has one configured (K1); the
         # parquet directory layout otherwise — one switch point, same
         # pipeline code under both (catalog.py).
@@ -148,6 +159,18 @@ class KGPipeline:
         """side_tables=False skips aliases/mentions (not needed for the
         triple output path; they are derived views over checkpointed stages
         and can be produced later from the same checkpoints)."""
+        if self.codegen is None:
+            return self._run(transcripts, side_tables)
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.wholeStage", str(self.codegen).lower())
+        try:
+            return self._run(transcripts, side_tables)
+        finally:
+            conf.set("spark.sql.codegen.wholeStage", prev)
+
+    def _run(self, transcripts: DataFrame,
+             side_tables: bool = True) -> PipelineResult:
         r = PipelineResult()
 
         ext = self._checkpoint(lambda: extract.extract_stage(transcripts),
