@@ -84,6 +84,11 @@ class KGPipeline:
         # where a one-off ~20s compile budget is noise and codegen wins the
         # heavy joins/sorts); None = leave the session setting untouched.
         self.codegen = codegen
+        # (Measured dead end, kept for the record: disabling AQE partition
+        # coalescing for the whole run makes BOTH parallelism levels slower
+        # — 40k convs: local[4] 75->128s, local[1] 202->247s — the per-task
+        # launch overhead across ~150 stages outweighs the extra
+        # parallelism of the few under-partitioned heavy stages.)
         # Iceberg catalog when the session has one configured (K1); the
         # parquet directory layout otherwise — one switch point, same
         # pipeline code under both (catalog.py).

@@ -67,3 +67,35 @@ def test_cc_deterministic_across_partitioning(spark):
     r2 = sorted(map(tuple, connected_components(
         spark.createDataFrame(edges, "a string, b string").repartition(16)).collect()))
     assert r1 == r2
+
+
+def test_forest_components_matches_general_cc(spark):
+    """The ER-path forest shortcut must agree with the general
+    large-star/small-star kernel on an argmax forest (later -> earlier,
+    unique child)."""
+    from knowledgegraphsiqidis_spark.operators.resolve import forest_components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "d"), ("x", "y")],
+        "key_a string, key_b string")
+    fc = {(r["node"], r["component"])
+          for r in forest_components(edges).collect()}
+    cc = {(r["node"], r["component"])
+          for r in connected_components(
+              edges.select(F.col("key_a").alias("a"),
+                           F.col("key_b").alias("b"))).collect()}
+    # same mapping for every non-root node; CC also returns root self-rows
+    assert fc == {(n, c) for n, c in cc if n != c}
+    assert fc == {("b", "a"), ("c", "a"), ("d", "a"), ("y", "x")}
+
+
+def test_forest_roots_deep_chain_guard(spark):
+    """A chain deeper than max_chain+1 must RAISE (no silent non-root
+    canonical), per the no-silent-caps principle."""
+    import pytest as _pytest
+    from knowledgegraphsiqidis_spark.operators.resolve import _forest_roots
+    deep = [(f"k{i:02d}", f"k{i+1:02d}") for i in range(10)]
+    edges = spark.createDataFrame(deep, "key_a string, key_b string")
+    ok = _forest_roots(edges, max_chain=9)
+    assert {r["canon_key"] for r in ok.collect()} == {"k00"}
+    with _pytest.raises(Exception, match="forest_roots"):
+        _forest_roots(edges, max_chain=3).collect()
