@@ -56,11 +56,20 @@ def infer_stage(extractions: DataFrame) -> DataFrame:
     parties = extractions.filter(F.col("kind") == "party").select(*cols)
     if "hint" not in parties.columns:
         parties = parties.withColumn("hint", F.lit(None).cast("string"))
+    # ONE conv_id exchange shared by every rule join: both inputs are
+    # explicitly hash-partitioned on conv_id, so the rule joins (including
+    # the org self-join) are co-partitioned and ReusedExchange dedupes the
+    # shared subtree — the five rules previously planned ~8 separate
+    # exchanges of the same small data, each a scheduling round-trip that
+    # bound the stage at high core counts (BENCH_SCALING.md laggard table).
+    P = extractions.sparkSession.sparkContext.defaultParallelism * 2
+    parties = parties.repartition(P, "conv_id")
     docs = (extractions
             .filter(F.col("kind").isin("party", "term"))
             .filter(F.col("entity_type").isin("Document", "Reference"))
             .filter(_caseish(F.col("name")))
-            .select("conv_id", F.col("name").alias("doc_name")))
+            .select("conv_id", F.col("name").alias("doc_name"))
+            .repartition(P, "conv_id"))
 
     party_to = (parties
                 .filter(F.col("role").isin(*_PARTY_TO_ROLES))

@@ -248,12 +248,20 @@ class KGPipeline:
                              .select("conv_id",
                                      F.lower("rel").alias("name_l"))))
         def build_edges():
-            # two consumers of the resolved map → pin it (thunk: resume
-            # skips the whole resolution when the edges stage exists)
+            # Two consumers of the resolved map → pin it (thunk: resume
+            # skips the whole resolution when the edges stage exists).
+            # Both relabel inputs are pre-partitioned on conv_id:
+            # localCheckpoint preserves outputPartitioning, and the
+            # (conv_id, name)-keyed relabel joins accept the conv_id subset
+            # clustering — the four join sides plan with ZERO additional
+            # exchanges.
+            P = self.spark.sparkContext.defaultParallelism * 2
             mention_map = materialize.resolve_names(
                 targets, ext, forms_c, occ_map=occ_map,
-                global_fallback=self.tier4_global).localCheckpoint()
-            return (materialize.materialize_edges(raw, mention_map)
+                global_fallback=self.tier4_global) \
+                .repartition(P, "conv_id").localCheckpoint()
+            raw_p = raw.repartition(P, "conv_id")
+            return (materialize.materialize_edges(raw_p, mention_map)
                     .unionByName(materialize.fact_about_edges(ext,
                                                               mention_map)))
 
