@@ -580,7 +580,7 @@ def _q_kg_resolution_rate(spark, sf):
 
 def _q_corroboration(spark, sf):
     from knowledgegraphsiqidis_spark.operators.inference import (
-        fact_corroboration)
+        TOKEN_DF_CAP, fact_corroboration)
     d = _t(spark, sf, "documents")
     facts = d.select(F.col("doc_id").cast("string").alias("fact_id"),
                      F.substring("text", 1, 120).alias("text"),
@@ -588,7 +588,9 @@ def _q_corroboration(spark, sf):
                      .otherwise("allegation").alias("fact_type"))
     sources = d.select(F.col("doc_id").cast("string").alias("fact_id"),
                        F.col("source").alias("source_doc"))
-    return fact_corroboration(facts, sources)
+    # scale cap passed EXPLICITLY (operator default is reference-exact
+    # uncapped, per round-3 advice); the DuckDB oracle mirrors this cap
+    return fact_corroboration(facts, sources, max_df=TOKEN_DF_CAP)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

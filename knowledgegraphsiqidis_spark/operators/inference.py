@@ -208,21 +208,23 @@ def hot_tokens(facts: DataFrame, max_df: int = TOKEN_DF_CAP,
 
 def contradictions(facts: DataFrame, min_overlap: int = 5,
                    id_col: str = "fact_id", text_col: str = "text",
-                   max_df: int | None = TOKEN_DF_CAP) -> DataFrame:
+                   max_df: int | None = None) -> DataFrame:
     """Contradicting fact pairs (G16): word-overlap blocking + negation pairs
     + conflicting number sets, all column expressions.
 
-    Tokens with document frequency above ``max_df`` are dropped from the
-    inverted index BEFORE the self-join (the same df cap as
-    dedup.ngram_jaccard_pairs): a token shared by k facts ("the", "shall")
-    generates k² candidate rows, and the reference's overlap>=5 filter runs
-    only AFTER the join — uncapped, the hot-token join is the pipeline's
-    quadratic term at scale.  Consequence (documented divergence, mirrored
-    in the DuckDB oracle): ``overlap`` counts only sub-cap shared tokens, so
-    a pair whose overlap relies on >max_df-frequency words is not blocked
-    together.  ``max_df=None`` restores the reference's exact uncapped
-    semantics for small inputs; dropped tokens are surfaced by
-    :func:`hot_tokens`.
+    ``max_df=None`` (the default) is the reference's EXACT uncapped
+    semantics.  At corpus scale callers should pass
+    ``max_df=TOKEN_DF_CAP``: tokens with document frequency above ``max_df``
+    are dropped from the inverted index BEFORE the self-join (the same df
+    cap as dedup.ngram_jaccard_pairs) — a token shared by k facts ("the",
+    "shall") generates k² candidate rows, and the reference's overlap>=5
+    filter runs only AFTER the join, so the uncapped hot-token join is the
+    quadratic term at scale.  Consequence of capping (documented
+    divergence, opt-IN on this public API per the round-3 advice, and
+    mirrored in the DuckDB oracle where the bench passes it): ``overlap``
+    counts only sub-cap shared tokens, so a pair whose overlap relies on
+    >max_df-frequency words is not blocked together.  Dropped tokens are
+    surfaced by :func:`hot_tokens`.
     """
     words = _fact_words(facts, id_col, text_col)
     if max_df is not None:
@@ -260,10 +262,12 @@ def contradictions(facts: DataFrame, min_overlap: int = 5,
 def fact_corroboration(facts: DataFrame, fact_sources: DataFrame,
                        id_col: str = "fact_id", text_col: str = "text",
                        type_col: str = "fact_type",
-                       max_df: int | None = TOKEN_DF_CAP) -> DataFrame:
+                       max_df: int | None = None) -> DataFrame:
     """Corroboration score per fact (G15).  ``fact_sources``:
     (fact_id, source_doc) rows from mentions/edge provenance.
-    ``max_df`` is passed through to the contradiction blocker."""
+    ``max_df`` is passed through to the contradiction blocker — None
+    (default) = reference-exact uncapped; pass ``TOKEN_DF_CAP`` at corpus
+    scale (contradictions docstring)."""
     src_counts = fact_sources.groupBy(id_col).agg(
         F.countDistinct("source_doc").alias("source_count"))
     contra = contradictions(facts, id_col=id_col, text_col=text_col,

@@ -76,7 +76,9 @@ def canonical_map(
 
 def occurrence_map(extractions: DataFrame, forms: DataFrame,
                    forms_c: DataFrame, nodes: DataFrame, matches: DataFrame,
-                   threshold: float = 0.8, max_block: int = 200) -> DataFrame:
+                   threshold: float = 0.8, max_block: int = 200,
+                   query_scope: DataFrame | None = None,
+                   members_keyed: DataFrame | None = None) -> DataFrame:
     """Per-conversation component assignment for always-merging forms —
     the reference RE-RESOLVES every conversation's mention of a surface form
     against the store AS IT EXISTS THEN (extraction_pipeline.py:615-733), so
@@ -96,12 +98,24 @@ def occurrence_map(extractions: DataFrame, forms: DataFrame,
 
     Returns (conv_id, er_type, name, component) override rows;
     resolve_names coalesces them over the global form component.
+
+    ``query_scope`` (optional, (er_type, name) keys) restricts the re-scored
+    query forms — the streaming-incremental path passes the batch's occurring
+    names so per-batch scoring stays O(batch), not O(cumulative vocabulary)
+    (only this batch's conversations need occurrence rows; earlier
+    conversations' resolutions are immutable under monotonic arrival).
+    ``members_keyed`` short-circuits the member-side blocking with the
+    persisted block index (resolve.containment_candidates docstring).
     """
     from .resolve import _pair_score, containment_candidates
 
     merged_keys = matches.select(F.col("key_b").alias("form_key")).distinct()
     queries = forms.join(merged_keys, "form_key", "left_semi")
-    cand = containment_candidates(forms, queries, max_block=max_block)
+    if query_scope is not None:
+        queries = queries.join(query_scope.select("er_type", "name"),
+                               ["er_type", "name"], "left_semi")
+    cand = containment_candidates(forms, queries, max_block=max_block,
+                                  members_keyed=members_keyed)
 
     compmap = forms_c.select(F.col("form_key").alias("m_key"),
                              F.col("component").alias("comp"))

@@ -81,12 +81,12 @@ _STOP_BLOCKS = ("and", "the", "of", "for", "to", "in", "on", "by", "or")
 GRAM_DF_CAP = 1000
 
 
-def _block_keys(forms: DataFrame, max_block: int | None,
-                gram_df_cap: int = GRAM_DF_CAP) -> DataFrame:
-    """Blocking keys over raw + normalized lowered names, with hot blocks
-    capped at the ``max_block`` earliest forms (mirroring the reference's
-    LIMIT-10 candidate truncation rather than letting a hot surface form
-    blow up the self-join).
+def _keyed_rows(forms: DataFrame) -> DataFrame:
+    """UNCAPPED (form_key, er_type, name, norm_name, block, _gram) blocking
+    rows — the raw key material ``_block_keys`` caps.  Exposed separately so
+    the streaming-incremental state store (streaming/incremental.py) can key
+    ONLY a batch's new forms and apply the caps against its persisted
+    per-block statistics instead of re-keying the whole vocabulary.
 
     Two key families:
       * word tokens — cheap, covers multi-word containment;
@@ -97,18 +97,9 @@ def _block_keys(forms: DataFrame, max_block: int | None,
         containment pair with a ≥5-char query shares a key.  Queries
         shorter than 5 chars keep their whole-string key.
 
-    Gram blocks with document frequency above ``gram_df_cap`` are dropped
-    ENTIRELY (word blocks keep the row_number cap): a gram shared by k forms
-    costs a k-row single-task sort in the cap window — at 300k forms the
-    shared prefix grams of per-conversation Doc_* names alone contributed
-    ~100 s of core-count-independent time.  Dropping an over-cap gram block
-    loses only gram-unique pairs among its earliest ``max_block`` members —
-    strictly gentler than the reference's LIMIT-10 truncation — and degrades
-    gracefully at corpus scale (word blocking persists).  Surface dropped
-    blocks with :func:`blocked_overflow`.
+    A key present in both families counts once, as a WORD key (word keys are
+    never df-dropped) — the min(False, True) aggregate keeps the word row.
     """
-    lowname, lownorm = F.lower("name"), F.lower("norm_name")
-
     def grams(low):
         return F.when(F.length(low) <= 5, F.array(low)).otherwise(
             F.transform(F.sequence(F.lit(1), F.length(low) - 4),
@@ -129,15 +120,34 @@ def _block_keys(forms: DataFrame, max_block: int | None,
         F.explode(F.array_distinct(F.concat(
             grams(F.col("_lnn")), grams(F.col("_ln"))))).alias("block"),
         F.lit(True).alias("_gram"))
-    keyed = (words.unionByName(gram)
-             .filter((F.length("block") > 1)
-                     & ~F.col("block").isin(*_STOP_BLOCKS))
-             # a key in both families counts once, as a WORD key (word keys
-             # are never df-dropped) — min(False, True) keeps the word row
-             .groupBy("form_key", "er_type", "name", "norm_name", "block")
-             .agg(F.min("_gram").alias("_gram")))
+    return (words.unionByName(gram)
+            .filter((F.length("block") > 1)
+                    & ~F.col("block").isin(*_STOP_BLOCKS))
+            .groupBy("form_key", "er_type", "name", "norm_name", "block")
+            .agg(F.min("_gram").alias("_gram")))
+
+
+def _block_keys(forms: DataFrame, max_block: int | None,
+                gram_df_cap: int = GRAM_DF_CAP,
+                keep_gram: bool = False) -> DataFrame:
+    """Blocking keys over raw + normalized lowered names, with hot blocks
+    capped at the ``max_block`` earliest forms (mirroring the reference's
+    LIMIT-10 candidate truncation rather than letting a hot surface form
+    blow up the self-join).  Key material: :func:`_keyed_rows`.
+
+    Gram blocks with document frequency above ``gram_df_cap`` are dropped
+    ENTIRELY (word blocks keep the row_number cap): a gram shared by k forms
+    costs a k-row single-task sort in the cap window — at 300k forms the
+    shared prefix grams of per-conversation Doc_* names alone contributed
+    ~100 s of core-count-independent time.  Dropping an over-cap gram block
+    loses only gram-unique pairs among its earliest ``max_block`` members —
+    strictly gentler than the reference's LIMIT-10 truncation — and degrades
+    gracefully at corpus scale (word blocking persists).  Surface dropped
+    blocks with :func:`blocked_overflow`.
+    """
+    keyed = _keyed_rows(forms)
     if max_block is None:
-        return keyed.drop("_gram")
+        return keyed if keep_gram else keyed.drop("_gram")
     df = keyed.groupBy("block").agg(F.count("*").alias("_df"))
     keyed = (keyed.join(df, "block")
              .filter(~F.col("_gram") | (F.col("_df") <= gram_df_cap)))
@@ -146,11 +156,13 @@ def _block_keys(forms: DataFrame, max_block: int | None,
     big = (keyed.filter(F.col("_df") > max_block)
            .withColumn("_rn", F.row_number().over(w))
            .filter(F.col("_rn") <= max_block).drop("_rn"))
-    return small.unionByName(big).drop("_df", "_gram")
+    out = small.unionByName(big).drop("_df")
+    return out if keep_gram else out.drop("_gram")
 
 
 def containment_candidates(forms: DataFrame, queries: DataFrame,
-                           max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
+                           max_block: int = DEFAULT_MAX_BLOCK,
+                           members_keyed: DataFrame | None = None) -> DataFrame:
     """(query, member) pairs where the MEMBER's stored name contains the
     query's raw or normalized lowered name — time-direction-free, unlike
     ``candidate_pairs``'s earlier→later restriction.  Feeds the
@@ -158,11 +170,18 @@ def containment_candidates(forms: DataFrame, queries: DataFrame,
     where a candidate cluster stored AFTER the query form's first occurrence
     can win later conversations' resolutions.
 
+    ``members_keyed`` short-circuits the member-side blocking with a
+    precomputed capped key table (columns ⊇ name, form_key, block) — the
+    streaming-incremental store passes its persisted block index so the
+    member side is never re-keyed per micro-batch.
+
     Returns (q_key, q_name, q_etype, m_key).
     """
     forms = forms.filter(F.col("er_type") != "Document")
     queries = queries.filter(F.col("er_type") != "Document")
-    members = _block_keys(forms, max_block).select(
+    keyed_m = (_block_keys(forms, max_block)
+               if members_keyed is None else members_keyed)
+    members = keyed_m.select(
         F.col("name").alias("m_name"), F.col("form_key").alias("m_key"),
         "block")
     qs = _block_keys(queries, max_block).select(

@@ -7,64 +7,118 @@ the cumulative form vocabulary (old forms as stored candidates, exactly like
 the SQLite store) and the results append to ONE graph — not per-batch
 ``batch=<id>`` islands.
 
-Equivalence guarantee (tested in test_resume_and_streaming): a corpus split
-into monotonic micro-batches produces the IDENTICAL triple set as a single
-batch run.  Why incrementality is exact here:
+O(batch) per micro-batch — the state store
+------------------------------------------
+Per-batch work is proportional to the BATCH, not the cumulative store: the
+form vocabulary, its capped blocking-key index, and per-block statistics are
+persisted state tables, so candidate generation keys only the batch's new
+forms and joins them against the stored index — the restriction to
+new-later-side pairs happens BEFORE the scoring UDF, and the node table is
+updated from per-component mention deltas instead of rebuilt.  Per-batch
+scored-pair counts (recorded in the state's ``batch_metrics``) stay flat as
+the store grows; the only O(store) terms left are key-only joins and state
+IO (no text rescoring), which an Iceberg catalog turns into metadata-level
+appends/MERGEs.
 
-* form keys are global ``conv_id#seq`` strings, so with monotonic batches
-  (every new conv_id sorts after all processed ones — asserted, never
-  assumed) new forms sort strictly after old forms;
+State layout under ``out_dir``:
+
+* append tables, one directory per batch (idempotent overwrite on replay):
+  ``extractions/batch=N`` (the archive), ``edges/batch=N``, and — per
+  generation ``g=G`` (bumped only by out-of-order rebuilds) —
+  ``matches/g=G/batch=N``, ``block_index/g=G/batch=N``,
+  ``form_component/g=G/batch=N``;
+* snapshot tables, one directory per version: ``forms/v=N``,
+  ``block_stats/v=N``, ``nodes/v=N``;
+* ``_incremental_state.json`` — THE commit point, written atomically
+  (tmp + rename) after all of a batch's tables.  Readers resolve every
+  table through the committed state (append reads filter
+  ``batch < n_batches``; snapshot reads open ``v=n_batches``), so a crash
+  anywhere mid-batch leaves only unreferenced directories and Structured
+  Streaming's batch replay recomputes them byte-identically (all writes are
+  deterministic overwrites of the same paths).  This is the parquet
+  stand-in for an Iceberg transaction; the snapshot pointer plays the role
+  of the catalog's current-snapshot-id.
+
+Equivalence guarantee (tested in test_resume_and_streaming): a corpus split
+into micro-batches produces the IDENTICAL triple set as a single batch run,
+PROVIDED no blocking cap boundary moves between batch boundaries — i.e. no
+block's cumulative document frequency crosses ``gram_df_cap`` or
+``max_block`` mid-stream (surface with resolve.blocked_overflow / the
+``purged`` flags in ``block_stats``).  The caps are applied FORWARD against
+the persisted per-block statistics: a gram block that crosses
+``gram_df_cap`` stops generating new candidates (its index rows are masked)
+but pairs it generated earlier keep their accepted edges, whereas a
+from-scratch rerun drops the block entirely — the same documented
+cap-divergence contract as inference.contradictions' token cap.  Within the
+cap-stable regime, incrementality is exact because:
+
+* form keys are global ``conv_id#seq`` strings: with monotonic batches new
+  forms sort strictly after old forms, so the capped block membership
+  (earliest ``max_block`` forms per block) grows append-only;
 * the accepted match-edge set is an argmax forest pointing later → earlier,
-  so old forms never re-resolve when new forms arrive (a new form can only
-  be a later ``key_b``, and cluster canonicals are the earliest member, which
-  appending members never changes) — prior edges are final;
+  so old forms never re-resolve when new forms arrive — prior edges are
+  final, and cluster canonicals (earliest member) never change;
 * per-conversation occurrence re-resolution (materialize.occurrence_map)
   only consults clusters stored BEFORE an occurrence (avail_key < occ_key),
   so later batches cannot rewrite earlier conversations' resolutions.
 
-Hence per batch only the candidate pairs whose LATER side is a new form are
-scored — the per-batch ER cost is proportional to the new forms, not the
-store (the store side enters through the df-capped block-key join, the same
-way the reference's LIKE index bounds its candidate scan).
-
-Scale design: state lives in parquet directory tables (extractions, match
-edges, per-batch edge outputs) that an Iceberg catalog can replace 1:1; the
-cumulative-forms aggregation is one groupBy over the extraction store and
-the nodes table is a cheap agg rebuild — both shrink to metadata-only
-incremental merges on a real lakehouse, and neither touches text columns.
+Out-of-order arrival
+--------------------
+The reference accepts documents in ANY order (its store is just "what has
+been inserted so far"); this engine's semantics are conv_id-deterministic,
+so a late batch with conv_ids below the high-water mark triggers a targeted
+re-resolution (``out_of_order="resolve"``, the default): only forms whose
+canonical assignment can change — new/key-changed forms, their block
+neighbours, and the fixed-point closure over components whose canonical
+name changed — are re-scored, and only conversations referencing affected
+names are re-materialized.  The blocking caps are recomputed from scratch
+for the merged corpus (restoring exact single-run semantics), state tables
+are rewritten under a bumped generation, and when the affected fraction
+exceeds ``oo_full_rebuild_frac`` the engine falls back to a full rebuild
+from the extraction archive.  ``out_of_order="strict"`` restores the old
+raise-on-non-monotonic contract.
 """
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
+import time
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (DataFrame, Observation, SparkSession, Window,
+                         functions as F)
 
 from ..operators import extract, infer, materialize
-from ..operators.resolve import (DEFAULT_MAX_BLOCK, MATCH_THRESHOLD,
-                                 _forest_roots, _pair_score, candidate_pairs,
-                                 entity_forms)
+from ..operators.resolve import (DEFAULT_MAX_BLOCK, GRAM_DF_CAP,
+                                 MATCH_THRESHOLD, _block_keys, _forest_roots,
+                                 _keyed_rows, _pair_score, entity_forms)
 
 _STATE = "_incremental_state.json"
 
+_FORMS_DDL = ("er_type string, name string, norm_name string, "
+              "form_key string, n_mentions bigint")
+_STATS_DDL = "block string, df bigint, n_admitted bigint, purged boolean"
+_INDEX_DDL = ("form_key string, er_type string, name string, "
+              "norm_name string, block string, _gram boolean")
+_MATCH_DDL = "key_a string, key_b string"
+_FC_DDL = "form_key string, component string"
+_NODES_DDL = ("id string, type string, canonical_name string, "
+              "confidence string, status string, n_mentions bigint")
 
-def incremental_match_edges(forms: DataFrame, new_keys: DataFrame,
-                            prior_edges: DataFrame | None,
-                            threshold: float = MATCH_THRESHOLD,
-                            max_block: int = DEFAULT_MAX_BLOCK,
-                            canonical_rounds: int = 3) -> DataFrame:
-    """resolve.match_edges restricted to pairs whose later side (key_b) is a
-    NEW form; prior edges are carried through unchanged (they are final —
-    module docstring).  Returns the FULL edge set (prior ∪ new), equal to
-    ``match_edges(forms)`` on the cumulative vocabulary.
+
+def _refined_new_edges(pairs: DataFrame, prior_edges: DataFrame,
+                       forms: DataFrame, threshold: float = MATCH_THRESHOLD,
+                       canonical_rounds: int = 3) -> DataFrame:
+    """resolve.match_edges' argmax + canonical-refinement loop restricted to
+    a pre-scored pair set whose later side (key_b) is new; prior edges are
+    carried through unchanged (they are final — module docstring).  Returns
+    ONLY the new edges.  Idempotent under replay: any pair whose key_b
+    already has a prior edge is dropped BEFORE the argmax, so a replayed
+    batch can never give a form two parents (the unique-parent forest
+    invariant _forest_roots depends on).
     """
-    spark = forms.sparkSession
-    if prior_edges is None:
-        prior_edges = spark.createDataFrame([], "key_a string, key_b string")
-    prior_edges = prior_edges.localCheckpoint()
-    pairs = (candidate_pairs(forms, max_block)
-             .join(new_keys.select(F.col("form_key").alias("key_b")),
-                   "key_b", "left_semi")
+    pairs = (pairs.join(prior_edges.select("key_b"), "key_b", "left_anti")
              .localCheckpoint())
 
     def best(scored: DataFrame) -> DataFrame:
@@ -78,7 +132,6 @@ def incremental_match_edges(forms: DataFrame, new_keys: DataFrame,
     new_edges = best(pairs.withColumn("canon_key", F.col("key_a"))
                      .withColumn("canon_name", F.col("name_a")))
     prev_sig = None
-    from pyspark.sql import Observation
     for _ in range(canonical_rounds):
         obs = Observation()
         new_edges = new_edges.observe(
@@ -103,19 +156,71 @@ def incremental_match_edges(forms: DataFrame, new_keys: DataFrame,
                    .withColumn("score", _pair_score("canon_name", "name_b",
                                                     "etype_b")))
         new_edges = best(unchanged.unionByName(chained))
-    return prior_edges.unionByName(new_edges.select("key_a", "key_b"))
+    return new_edges.select("key_a", "key_b")
+
+
+def incremental_match_edges(forms: DataFrame, new_keys: DataFrame,
+                            prior_edges: DataFrame | None,
+                            threshold: float = MATCH_THRESHOLD,
+                            max_block: int = DEFAULT_MAX_BLOCK,
+                            canonical_rounds: int = 3) -> DataFrame:
+    """resolve.match_edges restricted to pairs whose later side (key_b) is a
+    NEW form.  Standalone form (keys the whole vocabulary; the IncrementalKG
+    store instead keys only new forms against its persisted index).  Returns
+    the FULL edge set (prior ∪ new), equal to ``match_edges(forms)`` on the
+    cumulative vocabulary under the module-docstring cap-stability contract.
+    """
+    spark = forms.sparkSession
+    if prior_edges is None:
+        prior_edges = spark.createDataFrame([], _MATCH_DDL)
+    prior_edges = prior_edges.localCheckpoint()
+    keyed = _block_keys(forms.filter(F.col("er_type") != "Document"),
+                        max_block)
+    new_b = keyed.join(new_keys.select("form_key"), "form_key", "left_semi")
+    pairs = _pairs_from_index(keyed, new_b)
+    new_edges = _refined_new_edges(pairs, prior_edges, forms,
+                                   threshold, canonical_rounds)
+    return prior_edges.unionByName(new_edges)
+
+
+def _pairs_from_index(index_a: DataFrame, keyed_b: DataFrame) -> DataFrame:
+    """Blocked candidate pairs (earlier index side a × later keyed side b)
+    with the reference's direction-sensitive containment filter and the
+    pair score attached — resolve.candidate_pairs with the two key sides
+    supplied separately so the a-side can be a persisted index."""
+    a = index_a.select(F.col("name").alias("name_a"),
+                       F.col("form_key").alias("key_a"), "block")
+    b = keyed_b.select(F.col("name").alias("name_b"),
+                       F.col("norm_name").alias("norm_b"),
+                       F.col("er_type").alias("etype_b"),
+                       F.col("form_key").alias("key_b"), "block")
+    la, lb, nb = F.lower("name_a"), F.lower("name_b"), F.lower("norm_b")
+    return (a.join(b, ["block"])
+            .filter(F.col("key_a") < F.col("key_b"))
+            .drop("block")
+            .dropDuplicates(["key_a", "key_b"])
+            .filter(la.contains(lb) | la.contains(nb))
+            .withColumn("score", _pair_score("name_a", "name_b", "etype_b")))
 
 
 class IncrementalKG:
-    """Streaming-state KG builder: one graph, batch-incremental ER."""
+    """Streaming-state KG builder: one graph, batch-incremental ER with a
+    persisted form/block-key state store (module docstring)."""
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  threshold: float = MATCH_THRESHOLD,
-                 max_block: int = DEFAULT_MAX_BLOCK):
+                 max_block: int = DEFAULT_MAX_BLOCK,
+                 gram_df_cap: int = GRAM_DF_CAP,
+                 out_of_order: str = "resolve",
+                 oo_full_rebuild_frac: float = 0.5):
+        assert out_of_order in ("resolve", "strict")
         self.spark = spark
         self.out_dir = out_dir
         self.threshold = threshold
         self.max_block = max_block
+        self.gram_df_cap = gram_df_cap
+        self.out_of_order = out_of_order
+        self.oo_full_rebuild_frac = oo_full_rebuild_frac
         os.makedirs(out_dir, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -124,67 +229,415 @@ class IncrementalKG:
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
-        return {"n_batches": 0, "max_conv_id": ""}
+        return {"n_batches": 0, "max_conv_id": "", "gen": 0,
+                "last_stream_batch": -1, "batch_metrics": []}
 
-    def _save_state(self, st: dict) -> None:
-        with open(os.path.join(self.out_dir, _STATE), "w") as f:
+    def _commit(self, st: dict) -> None:
+        """Atomic commit: every table this batch produced is already on
+        disk; the state write is the single switch that makes them
+        visible.  GC of superseded snapshot versions / generations runs
+        after the commit (crash-safe: current version is never touched)."""
+        p = os.path.join(self.out_dir, _STATE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(st, f)
+        os.rename(tmp, p)
+        for snap in ("forms", "block_stats", "nodes"):
+            for d in glob.glob(os.path.join(self.out_dir, snap, "v=*")):
+                if d != os.path.join(self.out_dir, snap,
+                                     f"v={st['n_batches']}"):
+                    shutil.rmtree(d, ignore_errors=True)
+        for table in ("matches", "block_index", "form_component"):
+            for d in glob.glob(os.path.join(self.out_dir, table, "g=*")):
+                if d != os.path.join(self.out_dir, table, f"g={st['gen']}"):
+                    shutil.rmtree(d, ignore_errors=True)
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.out_dir, name)
+    def _path(self, *parts: str) -> str:
+        return os.path.join(self.out_dir, *parts)
 
-    def _read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(name))
+    # -- readers (always through the committed/processing watermark) ------
+    def _empty(self, ddl: str) -> DataFrame:
+        return self.spark.createDataFrame([], ddl)
+
+    def _parts(self, table: str, upto: int, ddl: str,
+               gen: int | None = None) -> DataFrame:
+        base = (self._path(table) if gen is None
+                else self._path(table, f"g={gen}"))
+        if not glob.glob(os.path.join(base, "batch=*")):
+            return self._empty(ddl)
+        df = (self.spark.read.option("basePath", base).parquet(base)
+              .filter(F.col("batch") <= upto).drop("batch"))
+        return df
+
+    def _snap(self, table: str, v: int, ddl: str) -> DataFrame:
+        p = self._path(table, f"v={v}")
+        if v <= 0 or not os.path.exists(p):
+            return self._empty(ddl)
+        return self.spark.read.parquet(p)
+
+    def _write_part(self, df: DataFrame, table: str, bid: int,
+                    gen: int | None = None) -> DataFrame:
+        p = (self._path(table, f"batch={bid}") if gen is None
+             else self._path(table, f"g={gen}", f"batch={bid}"))
+        df.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
+
+    def _write_snap(self, df: DataFrame, table: str, v: int) -> DataFrame:
+        p = self._path(table, f"v={v}")
+        df.write.mode("overwrite").parquet(p)
+        return self.spark.read.parquet(p)
+
+    def _index(self, upto: int, gen: int, stats: DataFrame) -> DataFrame:
+        """The committed block index with over-cap gram blocks masked out
+        (forward purge — module docstring).  The purged-block list is tiny
+        (hot grams only), hence the broadcast."""
+        idx = self._parts("block_index", upto, _INDEX_DDL, gen=gen)
+        purged = stats.filter("purged").select("block") \
+            .withColumn("_p", F.lit(True))
+        return (idx.join(F.broadcast(purged), "block", "left")
+                .filter(~(F.col("_gram") & F.coalesce("_p", F.lit(False))))
+                .drop("_p"))
 
     # -- per-batch ingest --------------------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+    def process_batch(self, batch_df: DataFrame,
+                      batch_id: int | None = None) -> None:
+        st = self._state()
+        if batch_id is not None and batch_id <= st["last_stream_batch"]:
+            return  # replay of an already-committed stream batch: no-op
         if batch_df.isEmpty():
             return
-        st = self._state()
-        bid = st["n_batches"] if batch_id is None else batch_id
+        t0 = time.time()
+        bid = st["n_batches"]
 
-        ext_b = extract.extract_stage(batch_df).localCheckpoint()
         lo, hi = (batch_df.agg(F.min("conv_id"), F.max("conv_id"))
                   .collect()[0])
         if st["max_conv_id"] and lo is not None and lo <= st["max_conv_id"]:
-            raise ValueError(
-                f"non-monotonic batch: conv_id {lo!r} <= already-processed "
-                f"{st['max_conv_id']!r} — incremental ER requires arrival in "
-                "conv_id order (reprocess from scratch otherwise)")
+            if self.out_of_order == "strict":
+                raise ValueError(
+                    f"non-monotonic batch: conv_id {lo!r} <= already-"
+                    f"processed {st['max_conv_id']!r} — strict mode requires "
+                    "arrival in conv_id order")
+            # conversation-level idempotence: drop convs already archived
+            # (duplicate delivery), keep genuinely-new late arrivals
+            base = self._path("extractions")
+            known = (self.spark.read.parquet(base)
+                     .select("conv_id").distinct())
+            fresh = batch_df.join(known, "conv_id", "left_anti") \
+                .localCheckpoint()
+            if fresh.isEmpty():
+                return
+            lo, hi = (fresh.agg(F.min("conv_id"), F.max("conv_id"))
+                      .collect()[0])
+            ext_b = self._write_part(extract.extract_stage(fresh),
+                                     "extractions", bid)
+            if lo <= st["max_conv_id"]:
+                return self._process_out_of_order(ext_b, bid, hi, batch_id,
+                                                  st, t0)
+            # else: monotonic after the dedup — fall through
+        else:
+            ext_b = self._write_part(extract.extract_stage(batch_df),
+                                     "extractions", bid)
 
-        ext_b.write.mode("overwrite").parquet(
-            os.path.join(self._path("extractions"), f"batch={bid}"))
-        ext_all = self._read("extractions").localCheckpoint()
+        # ---- forms state merge (key-only groupBy, no text scoring) ------
+        bforms = entity_forms(ext_b).localCheckpoint()
+        prior_forms = self._snap("forms", bid, _FORMS_DDL)
+        merged = (prior_forms.unionByName(bforms)
+                  .groupBy("er_type", "name", "norm_name")
+                  .agg(F.min("form_key").alias("form_key"),
+                       F.sum("n_mentions").alias("n_mentions")))
+        merged = self._write_snap(merged, "forms", bid + 1)
+        new_forms = (bforms.join(prior_forms.select("er_type", "name",
+                                                    "norm_name"),
+                                 ["er_type", "name", "norm_name"],
+                                 "left_anti")
+                     .localCheckpoint())
 
-        forms = entity_forms(ext_all).localCheckpoint()
-        # a form is NEW iff its earliest mention is in this batch — with
-        # monotonic batches that is exactly "form_key >= this batch's lo"
-        new_keys = forms.filter(
-            F.substring_index("form_key", "#", 1) >= F.lit(lo or ""))
-        prior = self._read("matches") if os.path.exists(
-            self._path("matches")) else None
-        matches = incremental_match_edges(
-            forms, new_keys, prior, threshold=self.threshold,
-            max_block=self.max_block).localCheckpoint()
-        matches.write.mode("overwrite").parquet(self._path("matches_next"))
-        # atomic-ish swap: matches_next -> matches (both parquet dirs)
-        final = self._path("matches")
-        tmp_old = self._path("matches_old")
-        if os.path.exists(final):
-            os.rename(final, tmp_old)
-        os.rename(self._path("matches_next"), final)
-        if os.path.exists(tmp_old):
-            import shutil
-            shutil.rmtree(tmp_old)
-        matches = self._read("matches")
+        # ---- block index update: key ONLY the new forms -----------------
+        keyed_new = _keyed_rows(
+            new_forms.filter(F.col("er_type") != "Document")) \
+            .localCheckpoint()
+        prior_stats = self._snap("block_stats", bid, _STATS_DDL)
+        newc = keyed_new.groupBy("block").agg(F.count("*").alias("_n_new"))
+        stats = (prior_stats.join(newc, "block", "full")
+                 .select("block",
+                         (F.coalesce("df", F.lit(0))
+                          + F.coalesce("_n_new", F.lit(0))).alias("df"),
+                         F.coalesce("n_admitted", F.lit(0))
+                         .alias("n_admitted"),
+                         F.coalesce("purged", F.lit(False)).alias("purged")))
+        stats = stats.withColumn(
+            "purged", F.col("purged") | (F.col("df") > self.gram_df_cap))
+        w = Window.partitionBy("block").orderBy("form_key")
+        admitted_new = (keyed_new
+                        .join(stats.select("block", "purged", "n_admitted"),
+                              "block")
+                        .filter(~F.col("_gram") | ~F.col("purged"))
+                        .withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("n_admitted") + F.col("_rn")
+                                <= self.max_block)
+                        .select("form_key", "er_type", "name", "norm_name",
+                                "block", "_gram"))
+        admitted_new = self._write_part(admitted_new, "block_index", bid,
+                                        gen=st["gen"])
+        adm_c = admitted_new.groupBy("block").agg(
+            F.count("*").alias("_n_adm"))
+        stats = stats.join(adm_c, "block", "left").select(
+            "block", "df",
+            (F.col("n_admitted")
+             + F.coalesce("_n_adm", F.lit(0))).alias("n_admitted"),
+            "purged")
+        stats = self._write_snap(stats, "block_stats", bid + 1)
+        index_all = self._index(bid, st["gen"], stats).localCheckpoint()
 
-        # canonicalization + node rebuild over the cumulative vocabulary
-        from ..operators.resolve import forest_components
-        comp = forest_components(matches)
-        forms_c = (forms.join(comp, forms.form_key == comp.node, "left")
+        # ---- candidate pairs: new later side ONLY, scored after the
+        # restriction (the O(batch) invariant) -----------------------------
+        prior_edges = self._parts("matches", bid - 1, _MATCH_DDL,
+                                  gen=st["gen"]).localCheckpoint()
+        obs = Observation()
+        pairs = _pairs_from_index(index_all, admitted_new).observe(
+            obs, F.count(F.lit(1)).alias("n_pairs"))
+        new_edges = _refined_new_edges(pairs, prior_edges, merged,
+                                       self.threshold)
+        new_edges = self._write_part(new_edges, "matches", bid,
+                                     gen=st["gen"])
+        n_pairs = int(obs.get["n_pairs"])
+        all_matches = prior_edges.unionByName(new_edges).localCheckpoint()
+
+        # ---- component assignment for new forms (roots are final) -------
+        canon_of = _forest_roots(all_matches)
+        new_fc = (new_forms.select("form_key")
+                  .join(canon_of, "form_key", "left")
+                  .select("form_key",
+                          F.coalesce("canon_key", "form_key")
+                          .alias("component")))
+        new_fc = self._write_part(new_fc, "form_component", bid,
+                                  gen=st["gen"])
+        fc_all = self._parts("form_component", bid, _FC_DDL, gen=st["gen"])
+
+        # ---- node table: per-component mention deltas, not a rebuild ----
+        delta = (bforms.select("er_type", "name", "norm_name",
+                               F.col("n_mentions").alias("_bm"))
+                 .join(merged.select("er_type", "name", "norm_name",
+                                     "form_key"),
+                       ["er_type", "name", "norm_name"])
+                 .join(fc_all, "form_key")
+                 .groupBy(F.col("component").alias("id"))
+                 .agg(F.sum("_bm").alias("_delta")))
+        prior_nodes = self._snap("nodes", bid, _NODES_DDL)
+        updated = (prior_nodes.join(delta, "id", "left")
+                   .withColumn("n_mentions",
+                               F.col("n_mentions")
+                               + F.coalesce("_delta", F.lit(0)))
+                   .drop("_delta"))
+        comp_rows = (new_forms.join(new_fc, "form_key")
+                     .groupBy("component")
+                     .agg(F.min_by("name", "form_key")
+                          .alias("canonical_name"),
+                          F.min_by("er_type", "form_key").alias("type"),
+                          F.sum("n_mentions").alias("n_mentions")))
+        new_nodes = (comp_rows
+                     .join(prior_nodes.select(F.col("id").alias("component")),
+                           "component", "left_anti")
+                     .select(F.col("component").alias("id"), "type",
+                             "canonical_name",
+                             F.lit("confirmed").alias("confidence"),
+                             F.lit("active").alias("status"), "n_mentions"))
+        nodes = self._write_snap(
+            updated.unionByName(new_nodes)
+            .unionByName(materialize.fact_nodes(ext_b)), "nodes", bid + 1)
+
+        # ---- this batch's triples ---------------------------------------
+        forms_c = (merged.join(fc_all, "form_key", "left")
                    .withColumn("component",
                                F.coalesce("component", "form_key"))
-                   .drop("node").localCheckpoint())
+                   .localCheckpoint())
+        edges_b = self._materialize_batch(ext_b, merged, forms_c, nodes,
+                                          all_matches, index_all)
+        self._write_part(edges_b, "edges", bid)
+
+        st["n_batches"] = bid + 1
+        if hi is not None:
+            st["max_conv_id"] = max(st["max_conv_id"], hi)
+        if batch_id is not None:
+            st["last_stream_batch"] = batch_id
+        st["batch_metrics"].append({
+            "batch": bid, "mode": "monotonic",
+            "n_scored_pairs": n_pairs,
+            "wall_sec": round(time.time() - t0, 2)})
+        self._commit(st)
+
+    def _materialize_batch(self, ext_p: DataFrame, merged: DataFrame,
+                           forms_c: DataFrame, nodes: DataFrame,
+                           all_matches: DataFrame,
+                           index_all: DataFrame) -> DataFrame:
+        """Edges for one batch's conversations against the cumulative store.
+        Occurrence re-scoring is scoped to the batch's occurring names and
+        the member side reuses the persisted block index — both O(batch)."""
+        scope = (ext_p.filter(F.col("kind").isin("party", "term", "doc"))
+                 .select("er_type", "name").distinct())
+        occ = materialize.occurrence_map(
+            ext_p, merged, forms_c, nodes, all_matches,
+            threshold=self.threshold, max_block=self.max_block,
+            query_scope=scope, members_keyed=index_all)
+        facts_in = (ext_p.filter(F.col("kind") == "fact")
+                    .select("conv_id", "fact_type",
+                            F.col("definition").alias("text"),
+                            F.col("related").alias("related_entities")))
+        raw = (infer.infer_stage(ext_p)
+               .unionByName(infer.infer_facts_stage(ext_p, facts_in))
+               .localCheckpoint())
+        targets = (raw.select("conv_id", F.lower("subj").alias("name_l"))
+                   .unionAll(raw.select("conv_id",
+                                        F.lower("obj").alias("name_l")))
+                   .unionAll(ext_p.filter(F.col("kind") == "fact")
+                             .select("conv_id",
+                                     F.explode("related").alias("rel"))
+                             .select("conv_id",
+                                     F.lower("rel").alias("name_l"))))
+        mention_map = materialize.resolve_names(
+            targets, ext_p, forms_c, occ_map=occ).localCheckpoint()
+        return (materialize.materialize_edges(raw, mention_map)
+                .unionByName(materialize.fact_about_edges(ext_p,
+                                                          mention_map)))
+
+    # -- out-of-order arrival ---------------------------------------------
+    def _process_out_of_order(self, ext_b: DataFrame, bid: int,
+                              hi: str | None, batch_id: int | None,
+                              st: dict, t0: float) -> None:
+        """Targeted re-resolution for a late batch (module docstring).
+
+        The affected set starts at new/key-changed forms plus their block
+        neighbours and closes over components whose canonical name changes
+        (refinement scores pairs against canonicals, so a canonical change
+        can re-score edges whose endpoints never met the new batch).  Only
+        affected pairs are re-scored and only conversations referencing
+        affected names are re-materialized; blocking caps are recomputed
+        from scratch (single-run semantics) and state is rewritten under a
+        bumped generation.
+        """
+        gen = st["gen"] + 1
+        base = self._path("extractions")
+        ext_all = (self.spark.read.option("basePath", base).parquet(base)
+                   .filter(F.col("batch") <= bid).drop("batch"))
+        merged = entity_forms(ext_all).localCheckpoint()
+        prior_forms = self._snap("forms", bid, _FORMS_DDL)
+        n_forms = merged.count()
+
+        ident = ["er_type", "name", "norm_name"]
+        changed = (merged.join(prior_forms.select(*ident, F.col("form_key")
+                                                  .alias("_old_key")), ident)
+                   .filter(F.col("form_key") != F.col("_old_key"))
+                   .localCheckpoint())
+        new_f = merged.join(prior_forms.select(*ident), ident, "left_anti")
+        seed = (changed.select("form_key")
+                .unionByName(new_f.select("form_key")).distinct())
+
+        # full-cap index rebuild: out-of-order restores single-run caps
+        keyed_all = _block_keys(
+            merged.filter(F.col("er_type") != "Document"),
+            self.max_block, self.gram_df_cap,
+            keep_gram=True).localCheckpoint()
+        raw_keyed = _keyed_rows(merged.filter(F.col("er_type") != "Document"))
+        stats = (raw_keyed.groupBy("block")
+                 .agg(F.count("*").alias("df"),
+                      F.min("_gram").alias("_all_gram")))
+        adm = keyed_all.groupBy("block").agg(F.count("*").alias("n_admitted"))
+        stats = (stats.join(adm, "block", "left")
+                 .select("block", "df",
+                         F.coalesce("n_admitted", F.lit(0))
+                         .alias("n_admitted"),
+                         (F.col("df") > self.gram_df_cap).alias("purged")))
+
+        # block neighbours of the seed: forms whose candidate set gains or
+        # reorders a member (key-only join, no scoring)
+        seed_blocks = keyed_all.join(seed, "form_key", "left_semi") \
+            .select("block").distinct()
+        neighbours = (keyed_all.join(seed_blocks, "block", "left_semi")
+                      .select("form_key").distinct())
+        affected = seed.unionByName(neighbours).distinct().localCheckpoint()
+        n_aff = affected.count()
+
+        if n_aff > self.oo_full_rebuild_frac * max(n_forms, 1):
+            affected = merged.select("form_key").distinct().localCheckpoint()
+
+        # prior edges, re-keyed through the form-identity map; edges whose
+        # direction inverts under the new keys go back into the affected set
+        keymap = changed.select(F.col("_old_key").alias("_k"), "form_key")
+        prior_edges = self._parts("matches", bid - 1, _MATCH_DDL,
+                                  gen=st["gen"])
+        rekeyed = prior_edges
+        for side in ("key_a", "key_b"):
+            rekeyed = (rekeyed
+                       .join(keymap.withColumnRenamed("_k", side), side,
+                             "left")
+                       .withColumn(side, F.coalesce("form_key", F.col(side)))
+                       .drop("form_key"))
+        inverted = rekeyed.filter(F.col("key_a") >= F.col("key_b"))
+        affected = (affected.unionByName(inverted.select(F.col("key_b")
+                                                         .alias("form_key")))
+                    .distinct().localCheckpoint())
+        rekeyed = rekeyed.filter(F.col("key_a") < F.col("key_b")) \
+            .localCheckpoint()
+
+        prior_nodes = self._snap("nodes", bid, _NODES_DDL)
+        prev_canon = prior_nodes.select(F.col("id").alias("component"),
+                                        F.col("canonical_name").alias("_pc"))
+        edges_final = None
+        for _ in range(5):
+            kept = rekeyed.join(affected.withColumnRenamed("form_key",
+                                                           "key_b"),
+                                "key_b", "left_anti").localCheckpoint()
+            keyed_aff = keyed_all.join(affected, "form_key", "left_semi")
+            pairs = _pairs_from_index(keyed_all, keyed_aff)
+            new_e = _refined_new_edges(pairs, kept, merged, self.threshold)
+            edges_final = kept.unionByName(new_e).localCheckpoint()
+            # cascade: components whose canonical name changed re-score any
+            # edge pointing into them plus any block neighbour of a member
+            canon_of = _forest_roots(edges_final)
+            fc = (merged.select("form_key")
+                  .join(canon_of, "form_key", "left")
+                  .select("form_key", F.coalesce("canon_key", "form_key")
+                          .alias("component")))
+            canon_now = (fc.join(merged.select("form_key", "name"),
+                                 "form_key")
+                         .groupBy("component")
+                         .agg(F.min_by("name", "form_key").alias("_nc")))
+            changed_comps = (canon_now.join(prev_canon, "component", "left")
+                             .filter(F.col("_pc").isNull()
+                                     | (F.col("_pc") != F.col("_nc")))
+                             .select("component"))
+            members = fc.join(changed_comps, "component", "left_semi") \
+                .select("form_key")
+            nb_blocks = keyed_all.join(members, "form_key", "left_semi") \
+                .select("block").distinct()
+            nbs = keyed_all.join(nb_blocks, "block", "left_semi") \
+                .select("form_key").distinct()
+            in_edges = edges_final.join(
+                fc.join(changed_comps, "component", "left_semi")
+                .withColumnRenamed("form_key", "key_a"), "key_a",
+                "left_semi").select(F.col("key_b").alias("form_key"))
+            want = members.unionByName(nbs).unionByName(in_edges).distinct()
+            extra = want.join(affected, "form_key", "left_anti")
+            if extra.isEmpty():
+                break
+            affected = affected.unionByName(extra).distinct() \
+                .localCheckpoint()
+
+        # rewrite state under the new generation
+        merged = self._write_snap(merged, "forms", bid + 1)
+        self._write_snap(stats.select("block", "df", "n_admitted", "purged"),
+                         "block_stats", bid + 1)
+        self._write_part(keyed_all.select("form_key", "er_type", "name",
+                                          "norm_name", "block", "_gram"),
+                         "block_index", bid, gen=gen)
+        edges_final = self._write_part(edges_final, "matches", bid, gen=gen)
+        canon_of = _forest_roots(edges_final)
+        fc = (merged.select("form_key")
+              .join(canon_of, "form_key", "left")
+              .select("form_key", F.coalesce("canon_key", "form_key")
+                      .alias("component")))
+        fc = self._write_part(fc, "form_component", bid, gen=gen)
+        forms_c = merged.join(fc, "form_key").localCheckpoint()
         reps = (forms_c.groupBy("component")
                 .agg(F.min_by("name", "form_key").alias("canonical_name"),
                      F.min_by("er_type", "form_key").alias("type"),
@@ -194,58 +647,78 @@ class IncrementalKG:
                              F.lit("confirmed").alias("confidence"),
                              F.lit("active").alias("status"), "n_mentions")
                  .unionByName(materialize.fact_nodes(ext_all)))
-        nodes.write.mode("overwrite").parquet(self._path("nodes_next"))
-        final_n = self._path("nodes")
-        tmp_old = self._path("nodes_old")
-        if os.path.exists(final_n):
-            os.rename(final_n, tmp_old)
-        os.rename(self._path("nodes_next"), final_n)
-        if os.path.exists(tmp_old):
-            import shutil
-            shutil.rmtree(tmp_old)
+        nodes = self._write_snap(nodes, "nodes", bid + 1)
+        index_all = self._index(bid, gen, stats).localCheckpoint()
 
-        # this batch's triples through the same relabel path as the batch
-        # pipeline — occurrence re-resolution consults the cumulative store
-        # (cumulative forms/clusters) but only needs THIS batch's occurrences
-        # (earlier conversations' resolutions are immutable, see module
-        # docstring), so its cost is bounded by the batch, not the store
-        occ = materialize.occurrence_map(
-            ext_b, forms, forms_c, self._read("nodes"), matches,
-            threshold=self.threshold, max_block=self.max_block)
-        facts_in = (ext_b.filter(F.col("kind") == "fact")
-                    .select("conv_id", "fact_type",
-                            F.col("definition").alias("text"),
-                            F.col("related").alias("related_entities")))
-        raw = (infer.infer_stage(ext_b)
-               .unionByName(infer.infer_facts_stage(ext_b, facts_in))
-               .localCheckpoint())
-        targets = (raw.select("conv_id", F.lower("subj").alias("name_l"))
-                   .unionAll(raw.select("conv_id",
-                                        F.lower("obj").alias("name_l")))
-                   .unionAll(ext_b.filter(F.col("kind") == "fact")
-                             .select("conv_id",
-                                     F.explode("related").alias("rel"))
-                             .select("conv_id",
-                                     F.lower("rel").alias("name_l"))))
-        mention_map = materialize.resolve_names(
-            targets, ext_all, forms_c, occ_map=occ).localCheckpoint()
-        edges = (materialize.materialize_edges(raw, mention_map)
-                 .unionByName(materialize.fact_about_edges(ext_b,
-                                                           mention_map)))
-        edges.write.mode("overwrite").parquet(
-            os.path.join(self._path("edges"), f"batch={bid}"))
+        # re-materialize: this batch + every prior batch referencing an
+        # affected name (component-id or resolution could change there)
+        prior_fc = self._parts("form_component", bid - 1, _FC_DDL,
+                               gen=st["gen"])
+        km = keymap.select(F.col("_k").alias("form_key"),
+                           F.col("form_key").alias("_new_key"))
+        rekeyed_fc = (prior_fc.join(km, "form_key", "left")
+                      .select(F.coalesce("_new_key", F.col("form_key"))
+                              .alias("form_key"), "component"))
+        fc_diff = (fc.join(rekeyed_fc.withColumnRenamed("component", "_oc"),
+                           "form_key", "left")
+                   .filter(F.col("_oc").isNull()
+                           | (F.col("_oc") != F.col("component")))
+                   .select("form_key"))
+        dirty_forms = affected.unionByName(fc_diff).distinct()
+        dirty_names = merged.join(dirty_forms, "form_key", "left_semi") \
+            .select("er_type", "name")
+        with_batch = (self.spark.read
+                      .option("basePath", self._path("extractions"))
+                      .parquet(self._path("extractions"))
+                      .filter(F.col("batch") <= bid))
+        dirty_batches = sorted(
+            r["batch"] for r in
+            (with_batch.filter(F.col("kind").isin("party", "term", "doc"))
+             .join(dirty_names, ["er_type", "name"], "left_semi")
+             .select("batch").distinct().collect()))
+        if bid not in dirty_batches:
+            dirty_batches.append(bid)
+        for b in dirty_batches:
+            ext_p = with_batch.filter(F.col("batch") == b).drop("batch") \
+                .localCheckpoint()
+            edges_p = self._materialize_batch(ext_p, merged, forms_c, nodes,
+                                              edges_final, index_all)
+            self._write_part(edges_p, "edges", b)
 
-        st["n_batches"] = max(st["n_batches"], bid + 1)
+        st["n_batches"] = bid + 1
+        st["gen"] = gen
         if hi is not None:
             st["max_conv_id"] = max(st["max_conv_id"], hi)
-        self._save_state(st)
+        if batch_id is not None:
+            st["last_stream_batch"] = batch_id
+        st["batch_metrics"].append({
+            "batch": bid, "mode": "out_of_order",
+            "n_affected_forms": int(n_aff), "n_forms": int(n_forms),
+            "n_rematerialized_batches": len(dirty_batches),
+            "wall_sec": round(time.time() - t0, 2)})
+        self._commit(st)
 
     # -- read side ---------------------------------------------------------
+    def batch_metrics(self) -> list[dict]:
+        """Per-batch cost counters (scored-pair counts etc.) — the
+        flat-per-batch evidence surface."""
+        return self._state()["batch_metrics"]
+
     def nodes(self) -> DataFrame:
-        return self._read("nodes")
+        return self._snap("nodes", self._state()["n_batches"], _NODES_DDL)
 
     def edges(self) -> DataFrame:
-        return self._read("edges")
+        st = self._state()
+        base = self._path("edges")
+        if not glob.glob(os.path.join(base, "batch=*")):
+            raise FileNotFoundError(base)
+        return (self.spark.read.option("basePath", base).parquet(base)
+                .filter(F.col("batch") < st["n_batches"]).drop("batch"))
+
+    def matches(self) -> DataFrame:
+        st = self._state()
+        return self._parts("matches", st["n_batches"] - 1, _MATCH_DDL,
+                           gen=st["gen"])
 
     def triples(self) -> DataFrame:
         return materialize.triples_view(self.edges(), self.nodes())

@@ -65,7 +65,8 @@ def _classify_party_type(name: str) -> str:
             else "Person")
 
 
-def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
+def run_oracle(ref, conversations: List[Tuple[str, List[str]]],
+               semantic_fn=None):
     """conversations: [(conv_id, [turn texts in turn_idx order])] — MUST be
     pre-sorted by conv_id.  Returns (triples set, store).
 
@@ -75,6 +76,16 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]]):
     Fact entity storage, about-edge name resolution) runs through the
     REFERENCE's kernels/semantics: RelationshipInferrer fact rules and
     _store_facts (extraction_pipeline.py:800-850).
+
+    ``semantic_fn(ref, conv_id, doc, entities, facts) -> (entities,
+    relations, facts)`` models an LLM-SHAPED semantic extractor on top of
+    the deterministic streams: it may append entities with arbitrary
+    properties, emit DIRECT relations (the extended vocabulary,
+    semantic_extractor.py:94 — these seed infer_relationships'
+    existing_pairs and are stored alongside the inferred ones,
+    extraction_pipeline.py:773-798), and rewrite the fact list (e.g.
+    non-conversation-local related names).  Default None = the
+    deterministic subset with no direct relations.
     """
     from knowledgegraphsiqidis_spark.functions import textops as _textops
 

@@ -99,3 +99,40 @@ def test_forest_roots_deep_chain_guard(spark):
     assert {r["canon_key"] for r in ok.collect()} == {"k00"}
     with _pytest.raises(Exception, match="forest_roots"):
         _forest_roots(edges, max_chain=3).collect()
+
+
+def test_deep_chain_guard_survives_each_consumer(spark):
+    """ADVICE r3: Catalyst column pruning elides the in-plan assert_true for
+    any consumer that drops canon_key unconsumed — so pin the invariant at
+    every CURRENT consumer: (a) forest_components (canonical_map /
+    incremental node rebuild), (b) the match_edges-style relabel join,
+    (c) the incremental relabel path.  Each must raise on a >max_chain+1
+    chain, not silently map forms to a non-root ancestor."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from knowledgegraphsiqidis_spark.operators.resolve import (
+        _forest_roots, forest_components)
+    deep = [(f"k{i:02d}", f"k{i+1:02d}") for i in range(9)]  # depth 9 > 7
+    edges = spark.createDataFrame(deep, "key_a string, key_b string")
+
+    # (a) forest_components consumer
+    with _pytest.raises(Exception, match="forest_roots"):
+        forest_components(edges).collect()
+
+    # (b) match_edges-style relabel: canon_of joined on canon_key (the join
+    # key consumes the guarded column — pruning must not drop it)
+    canon_of = _forest_roots(edges)
+    names = spark.createDataFrame([(f"k{i:02d}", f"n{i}") for i in range(11)],
+                                  "canon_key string, canon_name string")
+    with _pytest.raises(Exception, match="forest_roots"):
+        (canon_of.join(names, "canon_key")
+         .select("form_key", "canon_name").collect())
+
+    # (c) incremental relabel shape: coalesce over a left join
+    with _pytest.raises(Exception, match="forest_roots"):
+        pairs = spark.createDataFrame([("k09", "x")],
+                                      "key_a string, key_b string")
+        (pairs.join(canon_of.withColumnRenamed("form_key", "key_a"),
+                    "key_a", "left")
+         .withColumn("canon_key", F.coalesce("canon_key", F.col("key_a")))
+         .select("key_b", "canon_key").collect())

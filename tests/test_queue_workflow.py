@@ -1,0 +1,128 @@
+"""Resolution-queue review workflow parity (VERDICT r3 missing #2).
+
+Drives the REFERENCE's own queue implementation (Database.
+add_to_resolution_queue / get_pending_resolutions / resolve_queue_item,
+database.py:517-573) on a SQLite fixture and asserts the Spark operators
+(operators.queue_review) produce the same pop order, the same mention rows,
+and the same status transitions for the same decisions.
+"""
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphsiqidis_spark.operators import queue_review
+
+from _reference_oracle import load_reference
+
+QUEUE_DDL = ("form_key string, surface_text string, reason string, "
+             "candidates array<struct<candidate_key:string,score:double>>, "
+             "status string")
+
+# (form_key, surface_text, span_start, span_end) in insertion order
+ITEMS = [
+    ("conv-0001#000003", "Acme Holdings", 10, 23),
+    ("conv-0001#000007", "J. Smith", 40, 48),
+    ("conv-0002#000002", "Aperture", 5, 13),
+    ("conv-0003#000005", "Dubois", 61, 67),
+]
+
+
+@pytest.fixture()
+def ref_db(tmp_path):
+    load_reference()  # sys.path + SDK stubs
+    from src.core.storage.database import Database
+    db = Database(str(tmp_path / "ref.sqlite"))
+    for fk, surface, s0, s1 in ITEMS:
+        conv = fk.split("#")[0]
+        db.add_to_resolution_queue(surface, f"...{surface}...", conv,
+                                   s0, s1, [{"candidate_key": "e-1",
+                                             "score": 0.85}])
+        time.sleep(0.002)  # created_at strictly increasing, like arrival
+    return db
+
+
+@pytest.fixture()
+def queue_df(spark):
+    rows = [(fk, surface, "ambiguous_band_unconfirmed",
+             [("e-1", 0.85)], "pending")
+            for fk, surface, _, _ in ITEMS]
+    return spark.createDataFrame(rows, QUEUE_DDL)
+
+
+@pytest.fixture()
+def ext_df(spark):
+    rows = [(fk.split("#")[0], int(fk.split("#")[1]), 0, s0, s1)
+            for fk, _, s0, s1 in ITEMS]
+    return spark.createDataFrame(
+        rows, "conv_id string, seq int, turn_idx int, "
+              "span_start int, span_end int")
+
+
+def test_pop_order_matches_reference(ref_db, queue_df):
+    ref_pop = ref_db.get_pending_resolutions(limit=3)
+    got = [r["surface_text"]
+           for r in queue_review.pending_resolutions(queue_df, limit=3)
+           .collect()]
+    assert got == [it["surface_text"] for it in ref_pop]
+    assert len(got) == 3  # LIMIT honoured
+
+
+def test_apply_decisions_match_reference(spark, ref_db, queue_df, ext_df):
+    # reviewer links items 1 and 3 to entities; item 2 reviewed as keep-own
+    ref_items = ref_db.get_pending_resolutions(limit=50)
+    by_surface = {it["surface_text"]: it for it in ref_items}
+    ref_db.resolve_queue_item(by_surface["Acme Holdings"]["id"], "ent-AAA")
+    ref_db.resolve_queue_item(by_surface["Aperture"]["id"], "ent-BBB")
+
+    cur = ref_db.conn.cursor()
+    cur.execute("SELECT entity_id, doc_id, span_start, span_end, "
+                "surface_text FROM mentions ORDER BY surface_text")
+    ref_mentions = [tuple(r) for r in cur.fetchall()]
+    cur.execute("SELECT mention_surface_text, status FROM resolution_queue")
+    ref_status = {r[0]: r[1] for r in cur.fetchall()}
+
+    decisions = spark.createDataFrame(
+        [("conv-0001#000003", "ent-AAA"),   # accept
+         ("conv-0002#000002", "ent-BBB"),   # accept
+         ("conv-0001#000007", None)],       # keep-own (reject)
+        queue_review.DECISIONS_DDL)
+    out = queue_review.apply_resolutions(queue_df, decisions,
+                                         extractions=ext_df)
+    got_mentions = [(r["entity_id"], r["conv_id"], r["span_start"],
+                     r["span_end"], r["surface_text"])
+                    for r in out["new_mentions"]
+                    .orderBy("surface_text").collect()]
+    assert got_mentions == ref_mentions
+    got_status = {r["surface_text"]: r["status"]
+                  for r in out["queue"].collect()}
+    # accepted items resolved, like the reference...
+    for s in ("Acme Holdings", "Aperture"):
+        assert got_status[s] == ref_status[s] == "resolved"
+    # ...the untouched item stays pending in both
+    assert got_status["Dubois"] == ref_status["Dubois"] == "pending"
+    # keep-own is resolved here (decision recorded); the reference has no
+    # reject op — its item would stay pending until manually closed
+    assert got_status["J. Smith"] == "resolved"
+
+
+def test_apply_with_merge_folds_queued_entity(spark, queue_df, ext_df):
+    nodes = spark.createDataFrame(
+        [("conv-0001#000003", "Organization", "Acme Holdings", "queued",
+          "active", 1),
+         ("ent-AAA", "Organization", "Acme Corporation", "confirmed",
+          "active", 5)],
+        "id string, type string, canonical_name string, confidence string, "
+        "status string, n_mentions long")
+    edges = spark.createDataFrame(
+        [("e1", "conv-0001#000003", "ent-AAA", "related_to")],
+        "id string, src string, dst string, relation_type string")
+    decisions = spark.createDataFrame([("conv-0001#000003", "ent-AAA")],
+                                      queue_review.DECISIONS_DDL)
+    out = queue_review.apply_resolutions(queue_df, decisions,
+                                         extractions=ext_df, nodes=nodes,
+                                         edges=edges, merge=True)
+    st = {r["id"]: r["status"] for r in out["nodes"].collect()}
+    assert st["conv-0001#000003"] == "tombstone" and st["ent-AAA"] == "active"
+    e = out["edges"].collect()[0]
+    assert e["src"] == "ent-AAA" and e["dst"] == "ent-AAA"  # repointed

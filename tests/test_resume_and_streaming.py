@@ -82,9 +82,120 @@ def test_incremental_two_batches_equal_single_run(spark, tmp_path):
                      & (F.substring_index(F.col("src"), "#", 1) < cut)))
     assert cross.count() > 0
 
-    # non-monotonic arrival must raise, not silently corrupt
+    # strict mode: non-monotonic arrival must raise, not silently corrupt
+    strict = IncrementalKG(spark, str(tmp_path / "ikg"),
+                           out_of_order="strict")
     with pytest.raises(Exception, match="non-monotonic"):
-        kg.process_batch(full.filter(F.col("conv_id") < cut))
+        strict.process_batch(full.filter(F.col("conv_id") < cut))
+
+    # default mode: re-delivery of already-processed conversations is a
+    # conv-level-deduped no-op (idempotent), not corruption
+    kg.process_batch(full.filter(F.col("conv_id") < cut))
+    assert {tuple(r) for r in kg.triples().collect()} == expected
+
+
+def test_incremental_out_of_order_reversed(spark, tmp_path):
+    """VERDICT r3 item 3: the reference resolves documents in ANY arrival
+    order — two batches delivered REVERSED must produce the same triples as
+    the single-batch run (conv_id-deterministic semantics)."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+    pdf = transcripts_pdf(24, seed=11)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    expected = {tuple(r) for r in run_pipeline(spark, full)
+                .triples().collect()}
+    assert expected
+
+    cut = "conv-00000012"
+    kg = IncrementalKG(spark, str(tmp_path / "rkg"))
+    kg.process_batch(full.filter(F.col("conv_id") >= cut))   # later convs 1st
+    kg.process_batch(full.filter(F.col("conv_id") < cut))    # stragglers
+    got = {tuple(r) for r in kg.triples().collect()}
+    assert got == expected
+    modes = [m["mode"] for m in kg.batch_metrics()]
+    assert modes == ["monotonic", "out_of_order"]
+
+
+def test_incremental_out_of_order_interleaved(spark, tmp_path):
+    """A late middle batch triggers the TARGETED re-resolution (affected
+    forms strictly fewer than the vocabulary) and still matches the
+    single-run triple set."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+    pdf = transcripts_pdf(30, seed=5)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    expected = {tuple(r) for r in run_pipeline(spark, full)
+                .triples().collect()}
+
+    c10, c20 = "conv-00000010", "conv-00000020"
+    kg = IncrementalKG(spark, str(tmp_path / "okg"))
+    kg.process_batch(full.filter(F.col("conv_id") < c10))
+    kg.process_batch(full.filter(F.col("conv_id") >= c20))
+    kg.process_batch(full.filter((F.col("conv_id") >= c10)
+                                 & (F.col("conv_id") < c20)))
+    got = {tuple(r) for r in kg.triples().collect()}
+    assert got == expected
+    m = kg.batch_metrics()[-1]
+    assert m["mode"] == "out_of_order"
+    assert 0 < m["n_affected_forms"] <= m["n_forms"]
+
+
+def test_incremental_per_batch_cost_flat(spark, tmp_path):
+    """VERDICT r3 item 1 acceptance: per-batch scored-pair counts must not
+    scale with the cumulative store.  The batch pair sets partition the
+    single-run candidate-pair set by the later side's batch, so their SUM
+    equals the single-run count — any old×old rescoring would overshoot."""
+    from knowledgegraphsiqidis_spark.operators.resolve import (
+        candidate_pairs, entity_forms)
+    from knowledgegraphsiqidis_spark.operators.extract import extract_stage
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+    pdf = transcripts_pdf(30, seed=5)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+
+    kg = IncrementalKG(spark, str(tmp_path / "fkg"))
+    for i in range(6):
+        lo, hi = f"conv-{5*i:08d}", f"conv-{5*(i+1):08d}"
+        kg.process_batch(full.filter((F.col("conv_id") >= lo)
+                                     & (F.col("conv_id") < hi)))
+    per_batch = [m["n_scored_pairs"] for m in kg.batch_metrics()]
+    assert len(per_batch) == 6
+
+    forms = entity_forms(extract_stage(full))
+    single_run_pairs = candidate_pairs(forms).count()
+    assert sum(per_batch) == single_run_pairs
+    # and no single batch degenerates into an O(store) rescoring blob
+    assert max(per_batch) < single_run_pairs
+
+
+def test_incremental_crash_replay(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (medium): a crash after a batch's table writes but BEFORE
+    the state commit must leave the store readable at the previous snapshot,
+    and the streaming replay of the same batch must converge to the clean
+    two-batch result (all writes are deterministic overwrites)."""
+    from knowledgegraphsiqidis_spark.streaming import incremental as inc
+    pdf = transcripts_pdf(20, seed=7)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    cut = "conv-00000010"
+    b1 = full.filter(F.col("conv_id") < cut)
+    b2 = full.filter(F.col("conv_id") >= cut)
+
+    clean = inc.IncrementalKG(spark, str(tmp_path / "clean"))
+    clean.process_batch(b1)
+    clean.process_batch(b2)
+    expected = {tuple(r) for r in clean.triples().collect()}
+
+    kg = inc.IncrementalKG(spark, str(tmp_path / "crashy"))
+    kg.process_batch(b1)
+    t1 = {tuple(r) for r in kg.triples().collect()}
+
+    monkeypatch.setattr(inc.IncrementalKG, "_commit",
+                        lambda self, st: None)  # crash at the commit point
+    kg.process_batch(b2)
+    monkeypatch.undo()
+    # pre-commit: readers still see the batch-1 snapshot only
+    assert {tuple(r) for r in kg.triples().collect()} == t1
+
+    kg2 = inc.IncrementalKG(spark, str(tmp_path / "crashy"))  # "restart"
+    kg2.process_batch(b2)  # streaming replays the in-flight batch
+    assert {tuple(r) for r in kg2.triples().collect()} == expected
 
 
 def test_streaming_ingest(spark, tmp_path):
