@@ -26,6 +26,14 @@ from ..operators import extract, infer, materialize
 STAGES = ("extractions", "raw_triples", "nodes", "edges", "forms",
           "aliases", "mentions", "resolution_queue")
 
+# codegen auto-heuristic flip point (turns): below it the ~150 short graph
+# stages pay Janino compile latency serially and interpreted mode wins
+# (measured 40k convs / ~700k turns: local[8] 58s vs 76s); above it
+# per-stage data amortizes the one-off compile and codegen wins the heavy
+# joins/sorts.  5M turns keeps every sandbox scale interpreted and flips
+# the 10^12-turn design point to compiled.
+CODEGEN_AUTO_TURNS = 5_000_000
+
 
 @dataclass
 class PipelineResult:
@@ -56,33 +64,50 @@ class KGPipeline:
     def __init__(self, spark: SparkSession, out_dir: str | None = None,
                  threshold: float = 0.8, max_block: int = 200,
                  lineage: bool = True, with_queue: bool = False,
-                 tier4_global: bool = False, codegen: bool | None = False):
+                 tier4_global: bool = False, codegen: bool | None = None,
+                 extract_fn=None, relations_fn=None):
         """with_queue=True switches ER to the embedding-confirmed three-band
         resolver (resolve.resolve_with_queue): 0.8-0.9 matches need the
         embedding confirm, unconfirmed/ambiguous forms land in a
         ``resolution_queue`` stage table, and the kNN fallback band is
         active.  Default False = the reference's empty-vector-store
-        deterministic behavior (what the parity suite verifies)."""
+        deterministic behavior (what the parity suite verifies).
+
+        ``extract_fn(transcripts) -> extractions`` and
+        ``relations_fn(extractions) -> (conv_id, subj, pred, obj,
+        confidence)`` are THE pluggable semantic-extractor seam: an
+        LLM-backed extractor supplies entity rows with arbitrary
+        roles/properties (the ``hint`` channel rules 3/5 read), ``fact``
+        rows, and DIRECT relations in the reference's extended vocabulary
+        (semantic_extractor.py:94 — owns/controls/parent_of/...).  Direct
+        relations seed the inferrer's existing-pair suppression
+        (infer_relationships seeds ``existing_pairs`` from them,
+        semantic_extractor.py:604) and are stored alongside the inferred
+        ones (_store_relations, extraction_pipeline.py:773-798).  Defaults:
+        the deterministic structural extractor, no direct relations —
+        exercised end-to-end by test_mock_semantic_extractor."""
         self.spark = spark
         self.out_dir = out_dir
         self.threshold = threshold
         self.max_block = max_block
         self.lineage = lineage and out_dir is not None
         self.with_queue = with_queue
+        self.extract_fn = extract_fn or extract.extract_stage
+        self.relations_fn = relations_fn
         # tier4_global: opt-in J9 tier-4 cross-conversation LIKE fallback
         # for unresolved triple endpoints / fact related names
         # (materialize.resolve_names docstring)
         self.tier4_global = tier4_global
         # codegen: whole-stage-codegen setting DURING the pipeline run.
-        # Default False (interpreted mode): the graph phases are ~150 SHORT
-        # stages, and Janino compile latency per distinct stage shape is a
-        # fixed serial cost that binds exactly when per-stage data is small
-        # — measured at 40k conversations: local[8] 58s interpreted vs 76s
-        # compiled, local[2] unchanged (compile hides behind longer tasks).
-        # Pass codegen=True for deployments where per-stage data is large
-        # (≥ millions of rows per stage — e.g. the 10^12-turn design point,
-        # where a one-off ~20s compile budget is noise and codegen wins the
-        # heavy joins/sorts); None = leave the session setting untouched.
+        # The graph phases are ~150 SHORT stages, and Janino compile latency
+        # per distinct stage shape is a fixed serial cost that binds exactly
+        # when per-stage data is small — measured at 40k conversations:
+        # local[8] 58s interpreted vs 76s compiled, local[2] unchanged
+        # (compile hides behind longer tasks).  For large runs (millions of
+        # rows per stage — the 10^12-turn design point) the one-off ~20s
+        # compile budget is noise and codegen wins the heavy joins/sorts.
+        # Default None = AUTO: pick per run from the transcript row count
+        # (threshold CODEGEN_AUTO_TURNS); True/False force it.
         self.codegen = codegen
         # (Measured dead end, kept for the record: disabling AQE partition
         # coalescing for the whole run makes BOTH parallelism levels slower
@@ -164,11 +189,15 @@ class KGPipeline:
         """side_tables=False skips aliases/mentions (not needed for the
         triple output path; they are derived views over checkpointed stages
         and can be produced later from the same checkpoints)."""
-        if self.codegen is None:
-            return self._run(transcripts, side_tables)
+        codegen = self.codegen
+        if codegen is None:
+            # auto: one cheap count decides interpreted vs compiled (the
+            # flip condition the __init__ comment documents).  Parquet
+            # sources answer from footer metadata; the cost is one job.
+            codegen = transcripts.count() >= CODEGEN_AUTO_TURNS
         conf = self.spark.conf
         prev = conf.get("spark.sql.codegen.wholeStage", "true")
-        conf.set("spark.sql.codegen.wholeStage", str(self.codegen).lower())
+        conf.set("spark.sql.codegen.wholeStage", str(codegen).lower())
         try:
             return self._run(transcripts, side_tables)
         finally:
@@ -178,7 +207,7 @@ class KGPipeline:
              side_tables: bool = True) -> PipelineResult:
         r = PipelineResult()
 
-        ext = self._checkpoint(lambda: extract.extract_stage(transcripts),
+        ext = self._checkpoint(lambda: self.extract_fn(transcripts),
                                "extractions")
         # The extraction UDF ran wide (4 partitions/core) for compute balance;
         # its OUTPUT is small (a few hundred bytes per extraction record), so
@@ -194,10 +223,28 @@ class KGPipeline:
                     .select("conv_id", "fact_type",
                             F.col("definition").alias("text"),
                             F.col("related").alias("related_entities")))
-        raw = self._checkpoint(
-            lambda: infer.infer_stage(ext).unionByName(
-                infer.infer_facts_stage(ext, facts_in)),
-            "raw_triples")
+        def build_raw():
+            inferred = infer.infer_stage(ext).unionByName(
+                infer.infer_facts_stage(ext, facts_in))
+            if self.relations_fn is None:
+                return inferred
+            # Direct (extractor-supplied) relations: the reference seeds
+            # infer_relationships' existing_pairs from them, so an inferred
+            # pair duplicating a direct one is suppressed and the DIRECT
+            # edge is the one stored (semantic_extractor.py:604).
+            direct = (self.relations_fn(ext)
+                      .withColumn("inferred", F.lit(False))
+                      .withColumn("_sl", F.lower("subj"))
+                      .withColumn("_ol", F.lower("obj"))
+                      .dropDuplicates(["conv_id", "pred", "_sl", "_ol"]))
+            inferred = (inferred
+                        .withColumn("_sl", F.lower("subj"))
+                        .withColumn("_ol", F.lower("obj"))
+                        .join(direct.select("conv_id", "pred", "_sl", "_ol"),
+                              ["conv_id", "pred", "_sl", "_ol"], "left_anti"))
+            return direct.unionByName(inferred).drop("_sl", "_ol")
+
+        raw = self._checkpoint(build_raw, "raw_triples")
         r.tables["raw_triples"] = raw
 
         occ_map = None

@@ -128,8 +128,15 @@ def run_oracle(ref, conversations: List[Tuple[str, List[str]]],
             for p in _textops.extract_entity_props(doc)
         ]
 
-        relations = ref.RelationshipInferrer.infer_relationships(
-            entities, [], facts)
+        direct: list = []
+        if semantic_fn is not None:
+            entities, direct, facts = semantic_fn(ref, conv_id, doc,
+                                                  entities, facts)
+        # the reference stores the direct relations plus what the inferrer
+        # adds; existing_pairs is seeded from the direct list, suppressing
+        # inferred duplicates (semantic_extractor.py:604)
+        relations = list(direct) + ref.RelationshipInferrer.infer_relationships(
+            entities, list(direct), facts)
 
         # --- _resolve_and_store_entities (vector store empty) ---
         entity_map: Dict[str, int] = {}
