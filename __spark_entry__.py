@@ -564,6 +564,30 @@ def _q_kg_resolution_queue(spark, sf):
                     F.round("c.score", 4).alias("score"), "status"))
 
 
+def _q_kg_queue_apply(spark, sf):
+    """G5b: the resolution-queue review workflow as one bulk operator
+    (operators/queue_review.apply_resolutions; reference pop/resolve,
+    database.py:532-573).  Deterministic reviewer policy: for every
+    name-band queue item, accept its top candidate when the recorded score
+    >= 0.6, else keep-own (NULL decision) — both mark the item resolved;
+    kNN items are left un-reviewed (pending).  Oracle: the same policy in
+    SQL over the re-derived band queue (_kg_queue_apply_sql)."""
+    from knowledgegraphsiqidis_spark.operators import queue_review
+    _, _, queue = _kg_queue(spark, sf)
+    top = F.element_at("candidates", 1)
+    decisions = (queue.filter(F.col("reason") == "ambiguous_band_unconfirmed")
+                 .select("form_key",
+                         F.when(top["score"] >= 0.6,
+                                top["candidate_key"]).alias("entity_id")))
+    out = queue_review.apply_resolutions(queue, decisions)
+    linked = decisions.withColumnRenamed("entity_id", "linked_entity")
+    return (out["queue"]
+            .join(F.broadcast(linked), "form_key", "left")
+            .select("form_key", "surface_text", "reason", "status",
+                    "linked_entity")
+            .orderBy("form_key"))
+
+
 def _q_kg_resolution_rate(spark, sf):
     """A9: resolution success rate (server.py:2145 analogue) — fraction of
     surface forms resolved without queueing under the three-band resolver.
@@ -643,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_all_paths": _q_kg_all_paths,
         "kg_disambiguate": _q_kg_disambiguate,
         "kg_resolution_queue": _q_kg_resolution_queue,
+        "kg_queue_apply": _q_kg_queue_apply,
         "kg_resolution_rate": _q_kg_resolution_rate,
         "corroboration": _q_corroboration,
     }
@@ -942,6 +967,28 @@ def _kg_queue_sql() -> str:
             + " SELECT * FROM name_q UNION ALL SELECT * FROM knn_q")
 
 
+def _kg_queue_apply_sql() -> str:
+    # reviewer policy mirrored from _q_kg_queue_apply: name-band items are
+    # reviewed (accept top candidate at rounded score >= 0.6, else
+    # keep-own; both resolved), kNN items stay pending.  knn_q is reduced
+    # to its best-candidate row (one row per queue item, like the engine's
+    # unexploded queue).
+    return ("WITH " + _kg_band_ctes() + """,
+items AS (
+  SELECT form_key, surface_text, reason, candidate_key, score FROM name_q
+  UNION ALL
+  SELECT form_key, surface_text, reason, candidate_key, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY form_key
+           ORDER BY score DESC, candidate_key) AS rn2 FROM knn_q)
+  WHERE rn2 = 1)
+SELECT form_key, surface_text, reason,
+  CASE WHEN reason = 'ambiguous_band_unconfirmed'
+       THEN 'resolved' ELSE 'pending' END AS status,
+  CASE WHEN reason = 'ambiguous_band_unconfirmed' AND score >= 0.6
+       THEN candidate_key END AS linked_entity
+FROM items ORDER BY form_key""")
+
+
 def _kg_rate_sql() -> str:
     forms = _kg_rp("er_forms")
     return ("WITH " + _kg_band_ctes() + f""",
@@ -1110,6 +1157,7 @@ def _kg_oracles() -> dict[str, str]:
         "kg_transitive": _kg_transitive_sql(),
         "kg_disambiguate": _kg_disambiguate_sql(),
         "kg_resolution_queue": _kg_queue_sql(),
+        "kg_queue_apply": _kg_queue_apply_sql(),
         "kg_resolution_rate": _kg_rate_sql(),
         "kg_pagerank": _kg_pagerank_sql(),
         "kg_importance": _kg_importance_sql(),

@@ -28,10 +28,14 @@ STAGES = ("extractions", "raw_triples", "nodes", "edges", "forms",
 
 # codegen auto-heuristic flip point (turns): below it the ~150 short graph
 # stages pay Janino compile latency serially and interpreted mode wins
-# (measured 40k convs / ~700k turns: local[8] 58s vs 76s); above it
-# per-stage data amortizes the one-off compile and codegen wins the heavy
-# joins/sorts.  5M turns keeps every sandbox scale interpreted and flips
-# the 10^12-turn design point to compiled.
+# (measured 40k convs/~700k turns: local[8] 58s interpreted vs 76s
+# compiled); above it per-stage data amortizes the one-off compile and
+# codegen wins the heavy joins/sorts — at 300k convs/5.37M turns the
+# compiled-mode paired 300k protocol ran BOTH legs ~20% faster than the
+# interpreted control pair in an adjacent window (local[1] 1174-1236s vs
+# 1547s; local[4] 368-397s vs 500s, BENCH_SCALING.md) with pairwise N→4N
+# efficiency equal within window noise (0.780 vs 0.774).  5M turns is the
+# measured crossover on this host.
 CODEGEN_AUTO_TURNS = 5_000_000
 
 

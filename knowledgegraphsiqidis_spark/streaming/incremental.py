@@ -318,9 +318,13 @@ class IncrementalKG:
                     f"processed {st['max_conv_id']!r} — strict mode requires "
                     "arrival in conv_id order")
             # conversation-level idempotence: drop convs already archived
-            # (duplicate delivery), keep genuinely-new late arrivals
+            # (duplicate delivery), keep genuinely-new late arrivals.
+            # COMMITTED batches only — a crashed attempt's stray batch dir
+            # must not count as "known" or its convs would be dropped
+            # forever on replay instead of reprocessed.
             base = self._path("extractions")
-            known = (self.spark.read.parquet(base)
+            known = (self.spark.read.option("basePath", base).parquet(base)
+                     .filter(F.col("batch") < bid)
                      .select("conv_id").distinct())
             fresh = batch_df.join(known, "conv_id", "left_anti") \
                 .localCheckpoint()
@@ -387,12 +391,16 @@ class IncrementalKG:
              + F.coalesce("_n_adm", F.lit(0))).alias("n_admitted"),
             "purged")
         stats = self._write_snap(stats, "block_stats", bid + 1)
-        index_all = self._index(bid, st["gen"], stats).localCheckpoint()
+        # NOT localCheckpoint'd: index/edges/forms_c are parquet-backed
+        # lazy plans — pinning them would materialize O(store) state in
+        # executor memory every micro-batch; consumers re-scan the (cheap,
+        # UDF-free) files instead.
+        index_all = self._index(bid, st["gen"], stats)
 
         # ---- candidate pairs: new later side ONLY, scored after the
         # restriction (the O(batch) invariant) -----------------------------
         prior_edges = self._parts("matches", bid - 1, _MATCH_DDL,
-                                  gen=st["gen"]).localCheckpoint()
+                                  gen=st["gen"])
         obs = Observation()
         pairs = _pairs_from_index(index_all, admitted_new).observe(
             obs, F.count(F.lit(1)).alias("n_pairs"))
@@ -401,7 +409,7 @@ class IncrementalKG:
         new_edges = self._write_part(new_edges, "matches", bid,
                                      gen=st["gen"])
         n_pairs = int(obs.get["n_pairs"])
-        all_matches = prior_edges.unionByName(new_edges).localCheckpoint()
+        all_matches = prior_edges.unionByName(new_edges)
 
         # ---- component assignment for new forms (roots are final) -------
         canon_of = _forest_roots(all_matches)
@@ -449,8 +457,7 @@ class IncrementalKG:
         # ---- this batch's triples ---------------------------------------
         forms_c = (merged.join(fc_all, "form_key", "left")
                    .withColumn("component",
-                               F.coalesce("component", "form_key"))
-                   .localCheckpoint())
+                               F.coalesce("component", "form_key")))
         edges_b = self._materialize_batch(ext_b, merged, forms_c, nodes,
                                           all_matches, index_all)
         self._write_part(edges_b, "edges", bid)

@@ -35,3 +35,89 @@ def test_iceberg_branch_smoke(spark, tmp_path):
         pytest.skip("Iceberg runtime jar not present in this sandbox")
     cat = IcebergCatalog("local")  # would need spark.sql.catalog.local set
     assert cat._ident("nodes") == "local.kg.nodes"
+
+
+def test_iceberg_write_plumbing(spark, monkeypatch):
+    """IcebergCatalog.write argument plumbing without the runtime jar:
+    writeTo is monkeypatched with a recorder, asserting the identifier and
+    the append-vs-createOrReplace mode mapping the real catalog would see."""
+    calls = []
+
+    class _W:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def append(self):
+            calls.append((self.ident, "append"))
+
+        def createOrReplace(self):
+            calls.append((self.ident, "createOrReplace"))
+
+    df = spark.range(1)
+    # patch the CONCRETE class (Spark 4's classic DataFrame overrides the
+    # base pyspark.sql.DataFrame.writeTo)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, ident: _W(ident))
+    cat = IcebergCatalog("lake", namespace="kg")
+    cat.write(df, "nodes")
+    cat.write(df, "lineage_nodes", mode="append")
+    assert calls == [("lake.kg.nodes", "createOrReplace"),
+                     ("lake.kg.lineage_nodes", "append")]
+
+
+class _FakeCatalog:
+    """In-memory duck-type of the catalog interface: exercises every
+    NON-parquet pipeline code path (the Iceberg branch's _stage_done
+    lineage gate, catalog.write/read flow, resume skip) without the jar.
+    DataFrames are pinned with localCheckpoint to emulate a committed
+    snapshot read."""
+
+    def __init__(self):
+        self.tables = {}
+        self.writes = []
+
+    def write(self, df, table, mode="overwrite"):
+        self.writes.append(table)
+        self.tables[table] = df.localCheckpoint()
+
+    def read(self, spark, table):
+        return self.tables[table]
+
+    def exists(self, table):
+        return table in self.tables
+
+
+def test_pipeline_iceberg_branch_with_fake_catalog(spark, tmp_path,
+                                                   monkeypatch):
+    """The pipeline's catalog-abstracted (Iceberg-shaped) branch end-to-end
+    against the in-memory catalog: stage writes, lineage tables, the
+    lineage-resume gate (a stage with a conv column but no lineage table is
+    NOT done), and resume-without-recompute."""
+    from knowledgegraphsiqidis_spark.plans import pipeline as pl
+    from knowledgegraphsiqidis_spark.sources.transcripts import (
+        TRANSCRIPT_DDL, transcripts_pdf)
+
+    tdf = spark.createDataFrame(transcripts_pdf(15, seed=3),
+                                schema=TRANSCRIPT_DDL)
+    fake = _FakeCatalog()
+    monkeypatch.setattr(pl, "resolve_catalog", lambda s, d: fake)
+    r1 = pl.run_pipeline(spark, tdf, out_dir=str(tmp_path / "ice"))
+    triples1 = {tuple(r) for r in r1.triples().collect()}
+    assert triples1
+    assert "extractions" in fake.tables and "edges" in fake.tables
+    assert "lineage_extractions" in fake.tables  # lineage rides the catalog
+    assert fake.tables["lineage_extractions"].count() > 0
+
+    # lineage-resume gate: drop a stage's lineage table -> stage reruns
+    # (crash-between-writes semantics, pipeline._stage_done)
+    p = pl.KGPipeline(spark, out_dir=str(tmp_path / "ice"))
+    assert p._stage_done("extractions", "conv_id")
+    del fake.tables["lineage_extractions"]
+    assert not p._stage_done("extractions", "conv_id")
+    fake.tables["lineage_extractions"] = fake.tables["lineage_raw_triples"]
+
+    # resume: stage tables all present -> extraction is never rebuilt
+    def boom(*a, **k):
+        raise AssertionError("extraction rebuilt despite catalog resume")
+    monkeypatch.setattr(pl.extract, "extract_stage", boom)
+    r2 = pl.run_pipeline(spark, tdf, out_dir=str(tmp_path / "ice"))
+    assert {tuple(r) for r in r2.triples().collect()} == triples1

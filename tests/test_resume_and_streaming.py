@@ -165,6 +165,28 @@ def test_incremental_per_batch_cost_flat(spark, tmp_path):
     assert max(per_batch) < single_run_pairs
 
 
+def test_incremental_mixed_duplicate_batch(spark, tmp_path):
+    """A batch that re-delivers already-processed conversations ALONGSIDE
+    genuinely new later ones: the duplicates are dropped at conv
+    granularity and the remainder processes through the normal monotonic
+    path — result equals the clean two-batch run."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+    pdf = transcripts_pdf(20, seed=7)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    cut = "conv-00000010"
+    clean = IncrementalKG(spark, str(tmp_path / "mclean"))
+    clean.process_batch(full.filter(F.col("conv_id") < cut))
+    clean.process_batch(full.filter(F.col("conv_id") >= cut))
+    expected = {tuple(r) for r in clean.triples().collect()}
+
+    kg = IncrementalKG(spark, str(tmp_path / "mkg"))
+    kg.process_batch(full.filter(F.col("conv_id") < cut))
+    kg.process_batch(full)  # full corpus re-delivered: half dup, half new
+    assert {tuple(r) for r in kg.triples().collect()} == expected
+    assert [m["mode"] for m in kg.batch_metrics()] == ["monotonic",
+                                                       "monotonic"]
+
+
 def test_incremental_crash_replay(spark, tmp_path, monkeypatch):
     """ADVICE r3 (medium): a crash after a batch's table writes but BEFORE
     the state commit must leave the store readable at the previous snapshot,
