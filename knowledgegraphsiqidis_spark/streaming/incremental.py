@@ -302,8 +302,6 @@ class IncrementalKG:
     def process_batch(self, batch_df: DataFrame,
                       batch_id: int | None = None) -> None:
         st = self._state()
-        if batch_id is not None and batch_id <= st["last_stream_batch"]:
-            return  # replay of an already-committed stream batch: no-op
         if batch_df.isEmpty():
             return
         t0 = time.time()
@@ -312,13 +310,10 @@ class IncrementalKG:
         lo, hi = (batch_df.agg(F.min("conv_id"), F.max("conv_id"))
                   .collect()[0])
         if st["max_conv_id"] and lo is not None and lo <= st["max_conv_id"]:
-            if self.out_of_order == "strict":
-                raise ValueError(
-                    f"non-monotonic batch: conv_id {lo!r} <= already-"
-                    f"processed {st['max_conv_id']!r} — strict mode requires "
-                    "arrival in conv_id order")
-            # conversation-level idempotence: drop convs already archived
-            # (duplicate delivery), keep genuinely-new late arrivals.
+            # Conversation-level idempotence FIRST: a replayed (already
+            # committed) batch dedups to empty and is a no-op in EVERY mode
+            # — replay detection by stream batch-id alone would be a
+            # data-loss footgun (a new checkpoint dir restarts ids at 0).
             # COMMITTED batches only — a crashed attempt's stray batch dir
             # must not count as "known" or its convs would be dropped
             # forever on replay instead of reprocessed.
@@ -332,6 +327,13 @@ class IncrementalKG:
                 return
             lo, hi = (fresh.agg(F.min("conv_id"), F.max("conv_id"))
                       .collect()[0])
+            if lo <= st["max_conv_id"] and self.out_of_order == "strict":
+                raise ValueError(
+                    f"non-monotonic batch: new conv_id {lo!r} <= already-"
+                    f"processed {st['max_conv_id']!r} — strict mode requires "
+                    "arrival in conv_id order (duplicate re-delivery is "
+                    "deduped and fine; this batch carries genuinely new "
+                    "earlier conversations)")
             ext_b = self._write_part(extract.extract_stage(fresh),
                                      "extractions", bid)
             if lo <= st["max_conv_id"]:

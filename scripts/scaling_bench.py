@@ -44,10 +44,16 @@ def hardware_ceiling(n: int, n4: int) -> float:
     text = "Acme Corporation, Claimant, and Globex LLC, Respondent. " * 50
 
     def bench(workers: int) -> float:
-        with Pool(workers) as p:
-            t0 = time.time()
-            p.map(_mp_work, [(pat.pattern, text)] * 128)
-            return time.time() - t0
+        # best-of-3: a single Pool timing on this shared host can be off by
+        # 30%+ (a round-4 single-shot measured a nonsensical super-linear
+        # ceiling); the minimum is the least-noise estimate of capability
+        best = float("inf")
+        for _ in range(3):
+            with Pool(workers) as p:
+                t0 = time.time()
+                p.map(_mp_work, [(pat.pattern, text)] * 128)
+                best = min(best, time.time() - t0)
+        return best
 
     t_n, t_4n = bench(n), bench(n4)
     return t_n / t_4n

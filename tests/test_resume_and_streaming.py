@@ -82,16 +82,23 @@ def test_incremental_two_batches_equal_single_run(spark, tmp_path):
                      & (F.substring_index(F.col("src"), "#", 1) < cut)))
     assert cross.count() > 0
 
-    # strict mode: non-monotonic arrival must raise, not silently corrupt
+    # re-delivery of already-processed conversations is a conv-level-deduped
+    # no-op in EVERY mode (streaming replays are routine, and a new
+    # checkpoint dir restarts stream batch ids — dedup by conv identity is
+    # the only safe replay detection)
     strict = IncrementalKG(spark, str(tmp_path / "ikg"),
                            out_of_order="strict")
-    with pytest.raises(Exception, match="non-monotonic"):
-        strict.process_batch(full.filter(F.col("conv_id") < cut))
-
-    # default mode: re-delivery of already-processed conversations is a
-    # conv-level-deduped no-op (idempotent), not corruption
+    strict.process_batch(full.filter(F.col("conv_id") < cut))
+    assert {tuple(r) for r in strict.triples().collect()} == expected
     kg.process_batch(full.filter(F.col("conv_id") < cut))
     assert {tuple(r) for r in kg.triples().collect()} == expected
+
+    # strict mode: a batch carrying a GENUINELY NEW earlier conversation
+    # must raise, not silently corrupt
+    late = (full.filter(F.col("conv_id") == "conv-00000003")
+            .withColumn("conv_id", F.lit("conv-00000003b")))
+    with pytest.raises(Exception, match="non-monotonic"):
+        strict.process_batch(late)
 
 
 def test_incremental_out_of_order_reversed(spark, tmp_path):
