@@ -65,6 +65,12 @@ def apply_resolutions(queue: DataFrame, decisions: DataFrame,
     extraction schema — the span + conversation id identify the context.
     """
     out = {"nodes": None, "edges": None, "aliases": None, "mentions": None}
+    # one decision per form: duplicate form_key rows would fan out through
+    # every join below (duplicated queue/mention/merge-map rows).  Collapse
+    # deterministically — max entity_id wins, and max ignores NULLs, so a
+    # link decision beats a keep-own duplicate for the same form.
+    decisions = (decisions.groupBy("form_key")
+                 .agg(F.max("entity_id").alias("entity_id")))
     # decision-row PRESENCE resolves the item (a NULL entity_id is the
     # keep-own decision), not entity presence
     marker = F.broadcast(decisions.select("form_key")

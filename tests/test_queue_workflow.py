@@ -126,3 +126,24 @@ def test_apply_with_merge_folds_queued_entity(spark, queue_df, ext_df):
     assert st["conv-0001#000003"] == "tombstone" and st["ent-AAA"] == "active"
     e = out["edges"].collect()[0]
     assert e["src"] == "ent-AAA" and e["dst"] == "ent-AAA"  # repointed
+
+
+def test_duplicate_decisions_collapse(spark, queue_df, ext_df):
+    """ADVICE r4: duplicate form_key decision rows must not fan out through
+    the left join (duplicated queue rows / mention rows); a link decision
+    beats a keep-own duplicate for the same form (max ignores NULL)."""
+    decisions = spark.createDataFrame(
+        [("conv-0001#000003", "ent-AAA"),
+         ("conv-0001#000003", "ent-AAA"),   # exact duplicate
+         ("conv-0002#000002", None),
+         ("conv-0002#000002", "ent-BBB")],  # link beats keep-own
+        queue_review.DECISIONS_DDL)
+    out = queue_review.apply_resolutions(queue_df, decisions,
+                                         extractions=ext_df)
+    assert out["queue"].count() == queue_df.count()
+    assert out["queue"].groupBy("form_key").count() \
+        .filter("count > 1").isEmpty()
+    mentions = out["new_mentions"].collect()
+    assert len(mentions) == 2
+    by_form = {m["surface_text"]: m["entity_id"] for m in mentions}
+    assert by_form == {"Acme Holdings": "ent-AAA", "Aperture": "ent-BBB"}
