@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame, functions as F
 from .components import connected_components
 
 
+def _unpin(df: DataFrame | None) -> None:
+    """Free a ``localCheckpoint()``'d DataFrame's pinned blocks.
+
+    The checkpointed plan is a LogicalRDD; unpersisting its backing RDD
+    discards the data AND its lineage (localCheckpoint truncates), so this
+    must only run once every consumer of ``df`` has been materialized into
+    another checkpoint.  No-op (exception swallowed) for non-checkpointed
+    plans.
+    """
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def degree(edges: DataFrame) -> DataFrame:
     """Connection count per entity (UNION ALL of endpoints, then count)."""
     ends = edges.select(F.col("src").alias("id")).unionAll(
@@ -276,13 +293,23 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         if nxt.isEmpty():
             break
         levels.append(nxt)
+        prev_visited = visited
         visited = (visited.unionAll(nxt.select("source", "id"))
                    .localCheckpoint())
+        _unpin(prev_visited)  # folded into the new visited checkpoint
         frontier = nxt
     if len(levels) == 1:
+        for df in (sym, visited, levels[0]):
+            _unpin(df)
         return nodes.select("id", F.lit(0.0).alias("betweenness"))
     # backward phase: delta accumulation from the deepest level upward,
-    # still one job per level across all sources
+    # still one job per level across all sources.  Each forward level frame
+    # is unpersisted as soon as its backward step has been materialized
+    # into the delta/total checkpoints, bounding pinned executor memory to
+    # O(2 levels × reached-set) instead of O(depth × reached-set) — the
+    # scale guard for deep graphs where source sampling alone no longer
+    # bounds the forward frontier footprint.
+    _unpin(visited)  # only needed while building the forward levels
     total = None
     delta = levels[-1].select("source", "id", F.lit(0.0).alias("delta"))
     for d in range(len(levels) - 1, 0, -1):
@@ -304,11 +331,21 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                                 .alias("delta")))
         acc = parent_delta.filter(F.col("id") != F.col("source")) \
             .select("id", "delta")
+        prev_total, prev_delta = total, delta
         total = acc if total is None else total.unionAll(acc)
         # pin per level: the unionAll lineage is only max_depth deep, but
         # delta feeds the next level's join — cut the recompute chain
         delta = parent_delta.localCheckpoint()
         total = total.localCheckpoint()
+        # levels[d], the previous delta and the previous total are all
+        # folded into the two fresh checkpoints above — release them
+        _unpin(prev_total)
+        _unpin(prev_delta)
+        _unpin(levels[d])
+        levels[d] = None
+    _unpin(levels[0])
+    _unpin(delta)
+    _unpin(sym)
     scores = total.groupBy("id").agg((F.sum("delta") / 2.0).alias("betweenness"))
     return (nodes.select("id").join(scores, "id", "left")
             .fillna(0.0, subset=["betweenness"]))

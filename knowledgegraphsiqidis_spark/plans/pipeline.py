@@ -39,6 +39,19 @@ STAGES = ("extractions", "raw_triples", "nodes", "edges", "forms",
 CODEGEN_AUTO_TURNS = 5_000_000
 
 
+def _plan_rows(df: DataFrame) -> int | None:
+    """Row-count estimate from the optimized plan's statistics — free when
+    the source carries one (LocalRelation, checkpointed inputs whose stats
+    propagated, CBO-analyzed tables); None when only sizeInBytes is known
+    (plain parquet scans without ANALYZE), in which case the caller falls
+    back to one count() job (footer metadata for parquet — cheap)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(rc.get().toString()) if rc.isDefined() else None
+    except Exception:
+        return None
+
+
 @dataclass
 class PipelineResult:
     tables: dict = field(default_factory=dict)
@@ -189,16 +202,27 @@ class KGPipeline:
         return self.catalog.read(self.spark, stage)
 
     def run(self, transcripts: DataFrame,
-            side_tables: bool = True) -> PipelineResult:
+            side_tables: bool = True,
+            n_turns: int | None = None) -> PipelineResult:
         """side_tables=False skips aliases/mentions (not needed for the
         triple output path; they are derived views over checkpointed stages
-        and can be produced later from the same checkpoints)."""
+        and can be produced later from the same checkpoints).
+
+        ``n_turns``: optional row-count hint for the codegen auto-heuristic
+        — callers that already counted (bench.py materializes the input and
+        counts it outside the timed span) pass it to avoid spending an
+        extra Spark job here (a full scan for non-parquet inputs)."""
         codegen = self.codegen
         if codegen is None:
-            # auto: one cheap count decides interpreted vs compiled (the
-            # flip condition the __init__ comment documents).  Parquet
-            # sources answer from footer metadata; the cost is one job.
-            codegen = transcripts.count() >= CODEGEN_AUTO_TURNS
+            # auto: the flip condition the __init__ comment documents.
+            # Cost order: caller hint (free) → plan-statistics row estimate
+            # (free, answers for parquet scans / checkpointed inputs) →
+            # one count job as the last resort.
+            if n_turns is None:
+                n_turns = _plan_rows(transcripts)
+            if n_turns is None:
+                n_turns = transcripts.count()
+            codegen = n_turns >= CODEGEN_AUTO_TURNS
         conf = self.spark.conf
         prev = conf.get("spark.sql.codegen.wholeStage", "true")
         conf.set("spark.sql.codegen.wholeStage", str(codegen).lower())
@@ -330,6 +354,6 @@ class KGPipeline:
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  out_dir: str | None = None, side_tables: bool = True,
-                 **kw) -> PipelineResult:
+                 n_turns: int | None = None, **kw) -> PipelineResult:
     return KGPipeline(spark, out_dir=out_dir, **kw).run(
-        transcripts, side_tables=side_tables)
+        transcripts, side_tables=side_tables, n_turns=n_turns)
