@@ -127,9 +127,10 @@ def _keyed_rows(forms: DataFrame) -> DataFrame:
             .agg(F.min("_gram").alias("_gram")))
 
 
-def _block_keys(forms: DataFrame, max_block: int | None,
+def _block_keys(forms: DataFrame | None, max_block: int | None,
                 gram_df_cap: int = GRAM_DF_CAP,
-                keep_gram: bool = False) -> DataFrame:
+                keep_gram: bool = False,
+                keyed: DataFrame | None = None) -> DataFrame:
     """Blocking keys over raw + normalized lowered names, with hot blocks
     capped at the ``max_block`` earliest forms (mirroring the reference's
     LIMIT-10 candidate truncation rather than letting a hot surface form
@@ -144,8 +145,15 @@ def _block_keys(forms: DataFrame, max_block: int | None,
     strictly gentler than the reference's LIMIT-10 truncation — and degrades
     gracefully at corpus scale (word blocking persists).  Surface dropped
     blocks with :func:`blocked_overflow`.
+
+    ``keyed`` short-circuits the key computation with precomputed
+    :func:`_keyed_rows` output (columns form_key, er_type, name, norm_name,
+    block, _gram) — the streaming store passes its persisted ``keyed_forms``
+    rows re-joined to current form keys, so out-of-order cap recomputation
+    is key-only aggregation with NO text re-keying.
     """
-    keyed = _keyed_rows(forms)
+    if keyed is None:
+        keyed = _keyed_rows(forms)
     if max_block is None:
         return keyed if keep_gram else keyed.drop("_gram")
     df = keyed.groupBy("block").agg(F.count("*").alias("_df"))

@@ -22,22 +22,41 @@ appends/MERGEs.
 
 State layout under ``out_dir``:
 
-* append tables, one directory per batch (idempotent overwrite on replay):
-  ``extractions/batch=N`` (the archive), ``edges/batch=N``, and — per
-  generation ``g=G`` (bumped only by out-of-order rebuilds) —
-  ``matches/g=G/batch=N``, ``block_index/g=G/batch=N``,
-  ``form_component/g=G/batch=N``;
+* ``extractions/batch=N`` — the immutable per-batch archive (idempotent
+  overwrite on replay; out-of-order re-resolution reads it per batch);
+* generation-scoped append tables, one directory per batch under
+  ``table/g=G/batch=N``: ``matches``, ``block_index``, ``form_component``,
+  ``keyed_forms`` (the UNCAPPED identity-keyed blocking rows — see
+  out-of-order below) and ``edges`` (rows carry a ``src_batch`` column so
+  a generation rewrite can carry forward the batches it did not touch).
+  The generation is bumped by out-of-order rebuilds AND by
+  :meth:`IncrementalKG.compact` — a committed directory is NEVER
+  overwritten in place: every rewrite lands under a fresh ``g=G+1`` and
+  becomes visible only at the commit point;
 * snapshot tables, one directory per version: ``forms/v=N``,
   ``block_stats/v=N``, ``nodes/v=N``;
 * ``_incremental_state.json`` — THE commit point, written atomically
   (tmp + rename) after all of a batch's tables.  Readers resolve every
   table through the committed state (append reads filter
-  ``batch < n_batches``; snapshot reads open ``v=n_batches``), so a crash
-  anywhere mid-batch leaves only unreferenced directories and Structured
-  Streaming's batch replay recomputes them byte-identically (all writes are
-  deterministic overwrites of the same paths).  This is the parquet
-  stand-in for an Iceberg transaction; the snapshot pointer plays the role
-  of the catalog's current-snapshot-id.
+  ``batch < n_batches`` under the committed generation; snapshot reads
+  open ``v=n_batches``), so a crash anywhere mid-batch — including mid
+  out-of-order rewrite — leaves only unreferenced directories and
+  Structured Streaming's batch replay recomputes them byte-identically
+  (all writes are deterministic overwrites of uncommitted paths).  This is
+  the parquet stand-in for an Iceberg transaction; the snapshot pointer
+  plays the role of the catalog's current-snapshot-id.
+* GC retention: directories superseded by a commit are only RECORDED in
+  the state (``pending_gc``) and deleted by the NEXT commit, so a lazy
+  DataFrame obtained from :meth:`nodes`/:meth:`matches`/:meth:`triples`
+  under the previous committed state survives one further commit; handles
+  older than two commits must be re-fetched.
+
+Small-file growth is bounded by :meth:`IncrementalKG.compact` (manual, or
+automatic every ``compact_every`` batches): it consolidates each table's
+committed per-batch directories into ONE directory under a bumped
+generation — same layout, same readers, same atomic pointer semantics —
+and the superseded generation is GC'd one commit later.  (An Iceberg
+catalog would make this a metadata-level rewrite_data_files.)
 
 Equivalence guarantee (tested in test_resume_and_streaming): a corpus split
 into micro-batches produces the IDENTICAL triple set as a single batch run,
@@ -74,9 +93,20 @@ name changed — are re-scored, and only conversations referencing affected
 names are re-materialized.  The blocking caps are recomputed from scratch
 for the merged corpus (restoring exact single-run semantics), state tables
 are rewritten under a bumped generation, and when the affected fraction
-exceeds ``oo_full_rebuild_frac`` the engine falls back to a full rebuild
-from the extraction archive.  ``out_of_order="strict"`` restores the old
-raise-on-non-monotonic contract.
+exceeds ``oo_full_rebuild_frac`` — checked again each time the
+canonical-change closure grows, and forced if the closure has not
+converged when the iteration cap is hit — the engine falls back to a full
+rebuild from the extraction archive.  ``out_of_order="strict"`` restores
+the old raise-on-non-monotonic contract.
+
+Out-of-order cost is O(affected) in TEXT/SCORING work, not O(store): the
+uncapped blocking-key rows are persisted per batch in the identity-keyed
+``keyed_forms`` table (computed once, when a form is first seen), so a
+late batch text-keys ONLY its own new identities; the merged corpus's
+current form keys are re-attached by a key-only identity join and the
+single-run blocking caps are recomputed by key-only aggregations.  The
+remaining O(store) terms are those key-only joins plus the
+generation-rewrite IO (which an Iceberg catalog turns into metadata ops).
 """
 from __future__ import annotations
 
@@ -103,6 +133,11 @@ _INDEX_DDL = ("form_key string, er_type string, name string, "
               "norm_name string, block string, _gram boolean")
 _MATCH_DDL = "key_a string, key_b string"
 _FC_DDL = "form_key string, component string"
+# identity-keyed (NO form_key: keys are derived from the name strings
+# alone, so the rows stay valid when a late batch changes a form's key)
+_KF_DDL = ("er_type string, name string, norm_name string, "
+           "block string, _gram boolean")
+_KF_COLS = ("er_type", "name", "norm_name", "block", "_gram")
 _NODES_DDL = ("id string, type string, canonical_name string, "
               "confidence string, status string, n_mentions bigint")
 
@@ -212,7 +247,8 @@ class IncrementalKG:
                  max_block: int = DEFAULT_MAX_BLOCK,
                  gram_df_cap: int = GRAM_DF_CAP,
                  out_of_order: str = "resolve",
-                 oo_full_rebuild_frac: float = 0.5):
+                 oo_full_rebuild_frac: float = 0.5,
+                 compact_every: int | None = None):
         assert out_of_order in ("resolve", "strict")
         self.spark = spark
         self.out_dir = out_dir
@@ -221,6 +257,9 @@ class IncrementalKG:
         self.gram_df_cap = gram_df_cap
         self.out_of_order = out_of_order
         self.oo_full_rebuild_frac = oo_full_rebuild_frac
+        # auto-compaction cadence: consolidate the per-batch state dirs
+        # after every K committed batches (None = manual compact() only)
+        self.compact_every = compact_every
         os.makedirs(out_dir, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -230,27 +269,39 @@ class IncrementalKG:
             with open(p) as f:
                 return json.load(f)
         return {"n_batches": 0, "max_conv_id": "", "gen": 0,
-                "last_stream_batch": -1, "batch_metrics": []}
+                "last_stream_batch": -1, "batch_metrics": [],
+                "pending_gc": []}
 
     def _commit(self, st: dict) -> None:
         """Atomic commit: every table this batch produced is already on
         disk; the state write is the single switch that makes them
-        visible.  GC of superseded snapshot versions / generations runs
-        after the commit (crash-safe: current version is never touched)."""
+        visible.  GC runs with ONE-COMMIT RETENTION: directories this
+        commit supersedes are only recorded in ``pending_gc``; what the
+        PREVIOUS commit recorded is deleted now (crash-safe: the current
+        version/generation is never touched, and a lazy reader handle
+        obtained under the previous committed state survives this commit —
+        module docstring)."""
+        old_pending = st.get("pending_gc", [])
+        pending: list[str] = []
+        for snap in ("forms", "block_stats", "nodes"):
+            keep = os.path.join(self.out_dir, snap, f"v={st['n_batches']}")
+            pending += [d for d in
+                        glob.glob(os.path.join(self.out_dir, snap, "v=*"))
+                        if d != keep]
+        for table in ("matches", "block_index", "form_component",
+                      "keyed_forms", "edges"):
+            keep = os.path.join(self.out_dir, table, f"g={st['gen']}")
+            pending += [d for d in
+                        glob.glob(os.path.join(self.out_dir, table, "g=*"))
+                        if d != keep]
+        st["pending_gc"] = sorted(set(pending) - set(old_pending))
         p = os.path.join(self.out_dir, _STATE)
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(st, f)
         os.rename(tmp, p)
-        for snap in ("forms", "block_stats", "nodes"):
-            for d in glob.glob(os.path.join(self.out_dir, snap, "v=*")):
-                if d != os.path.join(self.out_dir, snap,
-                                     f"v={st['n_batches']}"):
-                    shutil.rmtree(d, ignore_errors=True)
-        for table in ("matches", "block_index", "form_component"):
-            for d in glob.glob(os.path.join(self.out_dir, table, "g=*")):
-                if d != os.path.join(self.out_dir, table, f"g={st['gen']}"):
-                    shutil.rmtree(d, ignore_errors=True)
+        for d in old_pending:
+            shutil.rmtree(d, ignore_errors=True)
 
     def _path(self, *parts: str) -> str:
         return os.path.join(self.out_dir, *parts)
@@ -259,11 +310,16 @@ class IncrementalKG:
     def _empty(self, ddl: str) -> DataFrame:
         return self.spark.createDataFrame([], ddl)
 
-    def _parts(self, table: str, upto: int, ddl: str,
+    def _parts(self, table: str, upto: int, ddl: str | None,
                gen: int | None = None) -> DataFrame:
+        """Committed rows of an append table (``batch <= upto`` under the
+        given generation).  ``ddl=None`` = the table must exist (raises) —
+        used for wide-schema tables (edges) with no hand-kept DDL."""
         base = (self._path(table) if gen is None
                 else self._path(table, f"g={gen}"))
         if not glob.glob(os.path.join(base, "batch=*")):
+            if ddl is None:
+                raise FileNotFoundError(base)
             return self._empty(ddl)
         df = (self.spark.read.option("basePath", base).parquet(base)
               .filter(F.col("batch") <= upto).drop("batch"))
@@ -362,6 +418,12 @@ class IncrementalKG:
         keyed_new = _keyed_rows(
             new_forms.filter(F.col("er_type") != "Document")) \
             .localCheckpoint()
+        n_keyed = keyed_new.count()  # cheap: pinned above
+        # persist the UNCAPPED key rows (identity-keyed): a later
+        # out-of-order batch re-keys only ITS new identities and reads the
+        # rest from here instead of re-keying the whole vocabulary
+        self._write_part(keyed_new.select(*_KF_COLS), "keyed_forms", bid,
+                         gen=st["gen"])
         prior_stats = self._snap("block_stats", bid, _STATS_DDL)
         newc = keyed_new.groupBy("block").agg(F.count("*").alias("_n_new"))
         stats = (prior_stats.join(newc, "block", "full")
@@ -462,7 +524,10 @@ class IncrementalKG:
                                F.coalesce("component", "form_key")))
         edges_b = self._materialize_batch(ext_b, merged, forms_c, nodes,
                                           all_matches, index_all)
-        self._write_part(edges_b, "edges", bid)
+        # src_batch rides as a data column so a generation rewrite (OO /
+        # compaction) can carry forward the batches it did not touch
+        self._write_part(edges_b.withColumn("src_batch", F.lit(bid)),
+                         "edges", bid, gen=st["gen"])
 
         st["n_batches"] = bid + 1
         if hi is not None:
@@ -472,8 +537,15 @@ class IncrementalKG:
         st["batch_metrics"].append({
             "batch": bid, "mode": "monotonic",
             "n_scored_pairs": n_pairs,
+            "n_keyed_rows": int(n_keyed),
             "wall_sec": round(time.time() - t0, 2)})
         self._commit(st)
+        self._maybe_autocompact()
+
+    def _maybe_autocompact(self) -> None:
+        if (self.compact_every
+                and self._state()["n_batches"] % self.compact_every == 0):
+            self.compact()
 
     def _materialize_batch(self, ext_p: DataFrame, merged: DataFrame,
                            forms_c: DataFrame, nodes: DataFrame,
@@ -537,19 +609,36 @@ class IncrementalKG:
                                                   .alias("_old_key")), ident)
                    .filter(F.col("form_key") != F.col("_old_key"))
                    .localCheckpoint())
-        new_f = merged.join(prior_forms.select(*ident), ident, "left_anti")
+        new_f = (merged.join(prior_forms.select(*ident), ident, "left_anti")
+                 .localCheckpoint())
         seed = (changed.select("form_key")
                 .unionByName(new_f.select("form_key")).distinct())
 
-        # full-cap index rebuild: out-of-order restores single-run caps
-        keyed_all = _block_keys(
-            merged.filter(F.col("er_type") != "Document"),
-            self.max_block, self.gram_df_cap,
-            keep_gram=True).localCheckpoint()
-        raw_keyed = _keyed_rows(merged.filter(F.col("er_type") != "Document"))
-        stats = (raw_keyed.groupBy("block")
-                 .agg(F.count("*").alias("df"),
-                      F.min("_gram").alias("_all_gram")))
+        # ---- key material: text-key ONLY this batch's new identities; the
+        # store's key rows come from the persisted keyed_forms table and
+        # get CURRENT form keys re-attached by a key-only identity join
+        # (O(affected) text work — module docstring) ----------------------
+        keyed_batch = _keyed_rows(
+            new_f.filter(F.col("er_type") != "Document")).localCheckpoint()
+        n_keyed = keyed_batch.count()
+        if glob.glob(self._path("keyed_forms", f"g={st['gen']}", "batch=*")):
+            kf_all = (self._parts("keyed_forms", bid - 1, _KF_DDL,
+                                  gen=st["gen"])
+                      .unionByName(keyed_batch.select(*_KF_COLS)))
+        else:
+            # pre-keyed_forms state layout: one-off full re-key
+            kf_all = _keyed_rows(
+                merged.filter(F.col("er_type") != "Document")) \
+                .select(*_KF_COLS)
+            n_keyed = n_forms
+        raw_keyed = kf_all.join(merged.select(*ident, "form_key"), ident) \
+            .localCheckpoint()
+        # full-cap recomputation: out-of-order restores single-run caps
+        # (key-only window/agg over the persisted rows, no re-keying)
+        keyed_all = _block_keys(None, self.max_block, self.gram_df_cap,
+                                keep_gram=True,
+                                keyed=raw_keyed).localCheckpoint()
+        stats = raw_keyed.groupBy("block").agg(F.count("*").alias("df"))
         adm = keyed_all.groupBy("block").agg(F.count("*").alias("n_admitted"))
         stats = (stats.join(adm, "block", "left")
                  .select("block", "df",
@@ -566,8 +655,10 @@ class IncrementalKG:
         affected = seed.unionByName(neighbours).distinct().localCheckpoint()
         n_aff = affected.count()
 
-        if n_aff > self.oo_full_rebuild_frac * max(n_forms, 1):
-            affected = merged.select("form_key").distinct().localCheckpoint()
+        all_forms = merged.select("form_key").distinct()
+        full_rebuild = n_aff > self.oo_full_rebuild_frac * max(n_forms, 1)
+        if full_rebuild:
+            affected = all_forms.localCheckpoint()
 
         # prior edges, re-keyed through the form-identity map; edges whose
         # direction inverts under the new keys go back into the affected set
@@ -591,15 +682,22 @@ class IncrementalKG:
         prior_nodes = self._snap("nodes", bid, _NODES_DDL)
         prev_canon = prior_nodes.select(F.col("id").alias("component"),
                                         F.col("canonical_name").alias("_pc"))
-        edges_final = None
-        for _ in range(5):
-            kept = rekeyed.join(affected.withColumnRenamed("form_key",
-                                                           "key_b"),
+
+        def rescore(aff: DataFrame) -> DataFrame:
+            kept = rekeyed.join(aff.withColumnRenamed("form_key", "key_b"),
                                 "key_b", "left_anti").localCheckpoint()
-            keyed_aff = keyed_all.join(affected, "form_key", "left_semi")
+            keyed_aff = keyed_all.join(aff, "form_key", "left_semi")
             pairs = _pairs_from_index(keyed_all, keyed_aff)
             new_e = _refined_new_edges(pairs, kept, merged, self.threshold)
-            edges_final = kept.unionByName(new_e).localCheckpoint()
+            return kept.unionByName(new_e).localCheckpoint()
+
+        edges_final = rescore(affected)
+        # when affected == all forms, kept is empty and rescore() IS the
+        # full single-run rebuild — no cascade can exist outside it
+        converged = full_rebuild
+        for _ in range(5):
+            if converged:
+                break
             # cascade: components whose canonical name changed re-score any
             # edge pointing into them plus any block neighbour of a member
             canon_of = _forest_roots(edges_final)
@@ -628,14 +726,35 @@ class IncrementalKG:
             want = members.unionByName(nbs).unionByName(in_edges).distinct()
             extra = want.join(affected, "form_key", "left_anti")
             if extra.isEmpty():
+                converged = True
                 break
             affected = affected.unionByName(extra).distinct() \
                 .localCheckpoint()
+            # re-evaluate the rebuild fraction as the closure grows — a
+            # cascade that balloons past the threshold costs more than the
+            # rebuild it was avoiding (ADVICE r4)
+            if affected.count() > self.oo_full_rebuild_frac \
+                    * max(n_forms, 1):
+                affected = all_forms.localCheckpoint()
+                full_rebuild = converged = True
+            edges_final = rescore(affected)
+        if not converged:
+            # the closure did not settle within the iteration cap: the last
+            # discovered affected forms are unscored, so the targeted path
+            # cannot guarantee the single-run-identical triple set — fall
+            # back to the full rebuild (ADVICE r4)
+            affected = all_forms.localCheckpoint()
+            full_rebuild = True
+            edges_final = rescore(affected)
 
-        # rewrite state under the new generation
+        # rewrite state under the new generation (committed directories are
+        # never touched in place — a crash before _commit leaves the old
+        # generation fully readable and the replay recomputes this one)
         merged = self._write_snap(merged, "forms", bid + 1)
         self._write_snap(stats.select("block", "df", "n_admitted", "purged"),
                          "block_stats", bid + 1)
+        self._write_part(kf_all.select(*_KF_COLS), "keyed_forms", bid,
+                         gen=gen)
         self._write_part(keyed_all.select("form_key", "er_type", "name",
                                           "norm_name", "block", "_gram"),
                          "block_index", bid, gen=gen)
@@ -687,12 +806,26 @@ class IncrementalKG:
              .select("batch").distinct().collect()))
         if bid not in dirty_batches:
             dirty_batches.append(bid)
+        # one consolidated edges directory under the new generation:
+        # untouched batches are carried forward by their src_batch tag
+        # (bulk key-only IO, no recompute), dirty ones re-materialized —
+        # the committed edges dirs of the old generation stay intact until
+        # the commit point (the round-4 atomicity fix)
+        parts = []
+        if glob.glob(self._path("edges", f"g={st['gen']}", "batch=*")):
+            carried = (self._parts("edges", bid - 1, None, gen=st["gen"])
+                       .filter(~F.col("src_batch").isin(dirty_batches)))
+            parts.append(carried)
         for b in dirty_batches:
             ext_p = with_batch.filter(F.col("batch") == b).drop("batch") \
                 .localCheckpoint()
             edges_p = self._materialize_batch(ext_p, merged, forms_c, nodes,
                                               edges_final, index_all)
-            self._write_part(edges_p, "edges", b)
+            parts.append(edges_p.withColumn("src_batch", F.lit(b)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self._write_part(out, "edges", bid, gen=gen)
 
         st["n_batches"] = bid + 1
         st["gen"] = gen
@@ -703,14 +836,54 @@ class IncrementalKG:
         st["batch_metrics"].append({
             "batch": bid, "mode": "out_of_order",
             "n_affected_forms": int(n_aff), "n_forms": int(n_forms),
+            "n_keyed_rows": int(n_keyed),
+            "full_rebuild": bool(full_rebuild),
             "n_rematerialized_batches": len(dirty_batches),
             "wall_sec": round(time.time() - t0, 2)})
         self._commit(st)
+        self._maybe_autocompact()
+
+    # -- compaction ---------------------------------------------------------
+    def compact(self) -> None:
+        """Consolidate every append table's committed per-batch directories
+        into ONE directory under a bumped generation (VERDICT r4 #4 — the
+        small-file / file-listing failure mode of a long-running stream).
+
+        Same layout, same readers, same atomic pointer semantics: the
+        consolidated directories are invisible until the state commit, a
+        crash mid-compaction leaves only an unreferenced generation, and
+        the superseded generation is GC'd one commit later (one-commit
+        retention).  The triple set is unchanged by construction — rows are
+        moved, not transformed.  Extraction archive dirs are kept per batch
+        (out-of-order re-resolution addresses them individually).  With an
+        Iceberg catalog this whole method becomes a metadata-level
+        rewrite_data_files call (ICEBERG.md).
+        """
+        st = self._state()
+        bid = st["n_batches"] - 1
+        if bid < 0:
+            return
+        gen = st["gen"] + 1
+        for table, ddl in (("matches", _MATCH_DDL),
+                           ("block_index", _INDEX_DDL),
+                           ("form_component", _FC_DDL),
+                           ("keyed_forms", _KF_DDL)):
+            df = self._parts(table, bid, ddl, gen=st["gen"])
+            self._write_part(df, table, bid, gen=gen)
+        if glob.glob(self._path("edges", f"g={st['gen']}", "batch=*")):
+            self._write_part(
+                self._parts("edges", bid, None, gen=st["gen"]),
+                "edges", bid, gen=gen)
+        st["gen"] = gen
+        self._commit(st)
 
     # -- read side ---------------------------------------------------------
+    # NOTE (one-commit GC retention, module docstring): a DataFrame handle
+    # obtained from any reader below stays valid across ONE subsequent
+    # commit; after a second commit its files may be GC'd — re-fetch.
     def batch_metrics(self) -> list[dict]:
-        """Per-batch cost counters (scored-pair counts etc.) — the
-        flat-per-batch evidence surface."""
+        """Per-batch cost counters (scored-pair / keyed-row counts etc.) —
+        the flat-per-batch evidence surface."""
         return self._state()["batch_metrics"]
 
     def nodes(self) -> DataFrame:
@@ -718,11 +891,9 @@ class IncrementalKG:
 
     def edges(self) -> DataFrame:
         st = self._state()
-        base = self._path("edges")
-        if not glob.glob(os.path.join(base, "batch=*")):
-            raise FileNotFoundError(base)
-        return (self.spark.read.option("basePath", base).parquet(base)
-                .filter(F.col("batch") < st["n_batches"]).drop("batch"))
+        return (self._parts("edges", st["n_batches"] - 1, None,
+                            gen=st["gen"])
+                .drop("src_batch"))
 
     def matches(self) -> DataFrame:
         st = self._state()

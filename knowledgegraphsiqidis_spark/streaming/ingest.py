@@ -23,10 +23,12 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
                        trigger_once: bool = True):
     """readStream over a transcript parquet directory → incremental KG.
 
-    State layout under ``out_dir``: ``extractions/batch=<id>`` (append),
-    ``matches`` + ``nodes`` (current cumulative), ``edges/batch=<id>``
-    (append).  ``IncrementalKG(spark, out_dir).triples()`` reads the whole
-    graph at any point.
+    State layout under ``out_dir``: see the ``streaming.incremental``
+    module docstring (extraction archive per batch; generation-scoped
+    matches/block_index/form_component/keyed_forms/edges; versioned
+    snapshots; atomic state-pointer commits).
+    ``IncrementalKG(spark, out_dir).triples()`` reads the whole graph at
+    any point.
     """
     stream = (spark.readStream
               .schema(TRANSCRIPTS)
