@@ -22,7 +22,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from . import analytics
 
@@ -286,3 +286,235 @@ def entity_summary(entity_id: str, nodes: DataFrame, edges: DataFrame,
     for e in in_edges:
         lines.append(f"- {e['source']} —{e['relation_type']}→ {ent['canonical_name']}")
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# N6 — schema-aware exploration fallback (nl_query.py:1192-1304).
+#
+# When a direct query returns nothing, the reference asks the LLM for up to
+# three alternative search strategies over a live schema summary
+# (SCHEMA_EXPLORATION_PROMPT, nl_query.py:178-201), executes each against
+# the store, and unions + id-dedups the results; a strategy-generation
+# failure falls back to sampling four common entity types
+# (nl_query.py:1283-1287).  Here the strategy EXECUTOR is complete and
+# DataFrame-native; strategy GENERATION is a pluggable ``strategy_fn(query,
+# schema) -> list[dict]`` seam (the same seam pattern as the pipeline's
+# ``extract_fn``) whose deterministic default derives strategies from the
+# keyword router's decision table — an LLM caller can be dropped in without
+# touching the executor.  Per-branch LIMITs mirror the reference's bounded
+# store reads (20/type, 10/keyword, 200 edges, 50 facts) with an explicit
+# ``orderBy(id)`` standing in for SQLite's implicit scan order so results
+# are deterministic under any partitioning.
+
+_N6_COMMON_TYPES = ('Date', 'Money', 'Organization', 'Person')  # :1285
+_N6_SAMPLE_TYPES = ('Organization', 'Person', 'Document')       # :249
+_N6_MAX_STRATEGIES = 3                                          # :1225
+SCHEMA_CACHE_REFRESH_INTERVAL = 50                              # :45-48
+
+
+def graph_schema(nodes: DataFrame, edges: DataFrame) -> str:
+    """Live schema summary string (``_get_live_schema``, nl_query.py:218-260):
+    entity-type counts desc, top-30 relation types desc, 5 sample names for
+    key types, totals.  Driver-side by nature — the string feeds a prompt —
+    but built from three bounded aggregations, never a full collect."""
+    active = nodes.filter(F.col("status") == "active")
+    etypes = sorted(((r["type"], r["n"]) for r in
+                     active.groupBy("type").agg(F.count("*").alias("n"))
+                     .collect()), key=lambda x: (-x[1], x[0]))
+    rtypes = sorted(((r["relation_type"], r["n"]) for r in
+                     edges.groupBy("relation_type").agg(F.count("*").alias("n"))
+                     .collect()), key=lambda x: (-x[1], x[0]))[:30]
+    parts = ["ENTITY TYPES:"]
+    parts += [f"  - {t}: {n} entities" for t, n in etypes]
+    parts.append("\nRELATIONSHIP TYPES:")
+    parts += [f"  - {t}: {n} edges" for t, n in rtypes]
+    parts.append("\nKEY ENTITIES (samples):")
+    samples = (active.filter(F.col("type").isin(*_N6_SAMPLE_TYPES))
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy("type").orderBy("id")))
+               .filter(F.col("_rn") <= 5)
+               .select("type", "canonical_name").collect())
+    by_type: Dict[str, list] = {}
+    for r in samples:
+        by_type.setdefault(r["type"], []).append(r["canonical_name"])
+    for t in _N6_SAMPLE_TYPES:
+        if by_type.get(t):
+            parts.append(f"  {t}s: {', '.join(by_type[t])}")
+    n_e = sum(n for _, n in etypes)
+    n_r = edges.count()
+    parts.append(f"\nTOTALS: {n_e} entities, {n_r} relationships")
+    return "\n".join(parts)
+
+
+class SchemaCache:
+    """Schema string cached across queries, refreshed every
+    ``SCHEMA_CACHE_REFRESH_INTERVAL`` calls (nl_query.py:45-48, :220-226)."""
+
+    def __init__(self, interval: int = SCHEMA_CACHE_REFRESH_INTERVAL):
+        self._interval, self._count, self._cached = interval, 0, None
+
+    def get(self, nodes: DataFrame, edges: DataFrame,
+            force_refresh: bool = False) -> str:
+        self._count += 1
+        if (self._cached is None or force_refresh
+                or self._count >= self._interval):
+            self._count = 0
+            self._cached = graph_schema(nodes, edges)
+        return self._cached
+
+
+def default_strategies(query: str, schema: str = "") -> list:
+    """Deterministic strategy generator: the router's decision table plays
+    the role of the reference prompt's worked examples ("key dates" → Date
+    entities, "obligations" → fact_type=obligation facts, ...)."""
+    interp = interpret_query(query)
+    mentions = interp.get("entities_mentioned", [])
+    etypes = interp.get("entity_types_requested") or []
+    out = []
+    if etypes:
+        out.append({"strategy_type": "type_search", "entity_types": etypes,
+                    "reasoning": "router-mapped entity types"})
+    if mentions:
+        out.append({"strategy_type": "keyword_search", "keywords": mentions,
+                    "reasoning": "quoted/capitalized mentions as keywords"})
+    if interp["query_type"] == "fact_search" or interp.get("filters"):
+        out.append({"strategy_type": "fact_search", "keywords": mentions,
+                    "reasoning": "fact-shaped query"})
+    if interp["query_type"] == "relationship_query":
+        out.append({"strategy_type": "relationship_search",
+                    "relation_types": [], "reasoning": "relationship query"})
+    if not out:
+        out.append({"strategy_type": "type_search",
+                    "entity_types": list(_N6_COMMON_TYPES),
+                    "reasoning": "no router signal; sample common types"})
+    return out[:_N6_MAX_STRATEGIES]
+
+
+def _n6_by_type(nodes: DataFrame, etype: str, n: int) -> DataFrame:
+    # get_entities_by_type (database.py:191-196): active only, LIMIT n
+    return (nodes.filter((F.col("status") == "active")
+                         & (F.col("type") == etype))
+            .orderBy("id").limit(n))
+
+
+def _n6_by_name(nodes: DataFrame, aliases, kw: str, n: int) -> DataFrame:
+    # search_entities_by_name (database.py:204-215): canonical OR alias
+    # LIKE, active, LIMIT n
+    pat = kw.lower()
+    hit = nodes.filter((F.col("status") == "active")
+                       & F.lower("canonical_name").contains(pat))
+    if aliases is not None:
+        via = (aliases.filter(F.lower("alias_text").contains(pat))
+               .select(F.col("entity_id").alias("id")).distinct())
+        hit = (hit.unionByName(
+            nodes.filter(F.col("status") == "active").join(via, "id"))
+            .dropDuplicates(["id"]))
+    return hit.orderBy("id").limit(n)
+
+
+def _n6_by_embedding(nodes: DataFrame, kw: str, k: int = 5,
+                     thresh: float = 0.4) -> DataFrame:
+    """Semantic branch of keyword_search (nl_query.py:1238-1249): embed the
+    keyword, k=5 nearest entity embeddings, keep score > 0.4 (the lowered
+    exploration threshold).  Entity side embeds ``f"{name} {type}"`` exactly
+    as the reference's vector store does; the query embeds the bare keyword
+    (generate_query_embedding)."""
+    from ..functions import embedding as emb
+    from . import similarity
+    from .resolve import _embed_udf
+    spark = nodes.sparkSession
+    base = (nodes.filter(F.col("status") == "active")
+            .withColumn("embedding",
+                        _embed_udf(F.concat_ws(" ", "canonical_name",
+                                               "type"))))
+    qdf = spark.createDataFrame(
+        [("__q__", emb.hash_embedding(kw).tolist())],
+        "query_id string, query_vec array<double>")
+    top = (similarity.cosine_topk(base, qdf, k=k, id_col="id",
+                                  vec_col="embedding")
+           .filter(F.col("cosine") > thresh)
+           .select(F.col("vec_id").alias("id")))
+    return nodes.join(top, "id").select(*nodes.columns)
+
+
+def _n6_facts(nodes: DataFrame, keywords: list):
+    """fact_search strategy (nl_query.py:1266-1281): first 50 Fact
+    entities; keep those whose text contains any keyword (all when no
+    keywords); emit both the fact rows and the fact entities."""
+    facts = (nodes.filter(F.col("type") == "Fact").orderBy("id").limit(50))
+    txt = (F.coalesce(F.col("properties")["full_text"],
+                      F.col("canonical_name"))
+           if "properties" in nodes.columns else F.col("canonical_name"))
+    ftype = (F.coalesce(F.col("properties")["fact_type"], F.lit("fact"))
+             if "properties" in nodes.columns else F.lit("fact"))
+    if keywords:
+        cond = F.lit(False)
+        for kw in keywords:
+            cond = cond | F.lower(txt).contains(kw.lower())
+        facts = facts.filter(cond)
+    rows = facts.select(ftype.alias("fact_type"), txt.alias("text"),
+                        F.col("canonical_name").alias("entity_name"))
+    return rows, facts
+
+
+def explore_with_schema(query: str, nodes: DataFrame, edges: DataFrame,
+                        aliases: DataFrame | None = None,
+                        strategy_fn=None, schema: str | None = None,
+                        schema_cache: "SchemaCache | None" = None) -> Dict[str, DataFrame]:
+    """N6 executor: run up to three strategies, union + id-dedup
+    (nl_query.py:1192-1304).  Returns ``{"entities", "edges", "facts"}``
+    DataFrames (facts: fact_type/text/entity_name).  A ``strategy_fn``
+    exception triggers the reference's common-types fallback
+    (:1283-1287)."""
+    if schema is None:
+        schema = (schema_cache.get(nodes, edges) if schema_cache is not None
+                  else graph_schema(nodes, edges))
+    ent_frames, edge_frames, fact_frames = [], [], []
+    try:
+        gen = strategy_fn if strategy_fn is not None else default_strategies
+        for st in list(gen(query, schema))[:_N6_MAX_STRATEGIES]:
+            stype = st.get("strategy_type", "")
+            if stype == "type_search":
+                for t in st.get("entity_types", []):
+                    ent_frames.append(_n6_by_type(nodes, t, 20))
+            elif stype == "keyword_search":
+                for kw in st.get("keywords", []):
+                    ent_frames.append(_n6_by_name(nodes, aliases, kw, 10))
+                    ent_frames.append(_n6_by_embedding(nodes, kw))
+            elif stype == "relationship_search":
+                rts = st.get("relation_types", [])
+                if not rts:
+                    continue
+                # get_all_edges(limit=200) THEN the type filter — the
+                # reference filters the bounded read, not the full table
+                sel = (edges.orderBy("id").limit(200)
+                       .filter(F.col("relation_type").isin(*rts)))
+                edge_frames.append(sel)
+                ids = (sel.select(F.col("src").alias("id"))
+                       .unionByName(sel.select(F.col("dst").alias("id")))
+                       .distinct())
+                ent_frames.append(nodes.join(ids, "id").select(*nodes.columns))
+            elif stype == "fact_search":
+                rows, fents = _n6_facts(nodes, st.get("keywords", []))
+                fact_frames.append(rows)
+                ent_frames.append(fents)
+    except Exception:
+        ent_frames = [_n6_by_type(nodes, t, 10) for t in _N6_COMMON_TYPES]
+        edge_frames, fact_frames = [], []
+
+    def _union(frames, empty):
+        if not frames:
+            return empty.limit(0)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    spark = nodes.sparkSession
+    empty_facts = spark.createDataFrame(
+        [], "fact_type string, text string, entity_name string")
+    return {
+        "entities": _union(ent_frames, nodes).dropDuplicates(["id"]),
+        "edges": _union(edge_frames, edges).dropDuplicates(["id"]),
+        "facts": _union(fact_frames, empty_facts).dropDuplicates(),
+    }

@@ -165,3 +165,156 @@ def test_canned_templates(spark, graph):
     assert agg["query_type"] == "aggregation"
     ob = nlquery.interpret_query(nlquery.QUERY_TEMPLATES["obligations"])
     assert ob["query_type"] == "fact_search"
+
+
+# ---------------------------------------------------------------------------
+# N6 — schema-aware exploration fallback (executor complete, strategy seam
+# pluggable; reference nl_query.py:1192-1304)
+
+@pytest.fixture(scope="module")
+def n6_graph(spark):
+    nodes = spark.createDataFrame(
+        [("1", "Organization", "ACME Corporation", "active",
+          {"full_text": None}),
+         ("2", "Organization", "Globex LLC", "active", {}),
+         ("3", "Person", "John Smith", "active", {}),
+         ("4", "Date", "January 15, 2020", "active", {}),
+         ("5", "Money", "$50,000", "active", {}),
+         ("6", "Fact", "obligation: pay within 30 days", "active",
+          {"fact_type": "obligation",
+           "full_text": "ACME shall pay Globex within 30 days"}),
+         ("7", "Fact", "allegation: breach of contract", "active",
+          {"fact_type": "allegation",
+           "full_text": "Globex alleges breach of contract"}),
+         ("8", "Organization", "Tombstoned Inc", "deleted", {})],
+        "id string, type string, canonical_name string, status string, "
+        "properties map<string,string>")
+    edges = spark.createDataFrame(
+        [("e1", "1", "2", "opposes"),
+         ("e2", "3", "1", "employed_by"),
+         ("e3", "1", "5", "owes")],
+        "id string, src string, dst string, relation_type string")
+    aliases = spark.createDataFrame(
+        [("2", "Globex Corporation", "extracted")],
+        "entity_id string, alias_text string, source string")
+    return nodes, edges, aliases
+
+
+def test_n6_schema_string(n6_graph):
+    nodes, edges, _ = n6_graph
+    s = nlquery.graph_schema(nodes, edges)
+    # counts exclude tombstones; desc by count then name
+    assert "  - Organization: 2 entities" in s
+    assert "  - Fact: 2 entities" in s
+    assert "Tombstoned" not in s
+    assert "ENTITY TYPES:" in s and "RELATIONSHIP TYPES:" in s
+    assert "  - opposes: 1 edges" in s
+    assert "  Organizations: ACME Corporation, Globex LLC" in s
+    assert s.endswith("TOTALS: 7 entities, 3 relationships")
+
+
+def test_n6_schema_cache_refresh_interval(n6_graph):
+    nodes, edges, _ = n6_graph
+    calls = []
+    cache = nlquery.SchemaCache(interval=3)
+    orig = nlquery.graph_schema
+    try:
+        nlquery.graph_schema = lambda n, e: calls.append(1) or orig(n, e)
+        for _ in range(5):
+            cache.get(nodes, edges)
+        assert len(calls) == 2          # miss at call 1, refresh at call 3
+        cache.get(nodes, edges, force_refresh=True)
+        assert len(calls) == 3
+    finally:
+        nlquery.graph_schema = orig
+
+
+def test_n6_default_strategies_router_derived(n6_graph):
+    sts = nlquery.default_strategies('What payments were made to "ACME"?')
+    kinds = [s["strategy_type"] for s in sts]
+    assert kinds[0] == "type_search"
+    assert sts[0]["entity_types"] == ["Money"]
+    assert {"strategy_type": "keyword_search", "keywords": ["ACME"],
+            "reasoning": sts[1]["reasoning"]} == sts[1]
+    assert len(sts) <= 3
+    # no router signal -> common-types sampling strategy
+    fallback = nlquery.default_strategies("zzz qqq")
+    assert fallback[0]["entity_types"] == list(nlquery._N6_COMMON_TYPES)
+
+
+def test_n6_llm_shaped_strategies_executor(n6_graph):
+    """An LLM-shaped strategy_fn exercising all four strategy types; the
+    executor must honor the reference's per-branch bounded reads, union and
+    id-dedup."""
+    nodes, edges, aliases = n6_graph
+
+    def llm(query, schema):
+        assert "ENTITY TYPES:" in schema       # the prompt's schema input
+        return [
+            {"strategy_type": "type_search", "entity_types": ["Person"]},
+            {"strategy_type": "keyword_search", "keywords": ["globex"]},
+            {"strategy_type": "relationship_search",
+             "relation_types": ["opposes", "owes"]},
+            # 4th strategy must be ignored (reference caps at 3, :1225)
+            {"strategy_type": "type_search", "entity_types": ["Date"]},
+        ]
+
+    out = nlquery.explore_with_schema("who opposes acme", nodes, edges,
+                                      aliases=aliases, strategy_fn=llm)
+    ids = {r["id"] for r in out["entities"].collect()}
+    # Person(3) + globex name/alias(2) + opposes/owes endpoints(1,2,5);
+    # Date(4) excluded by the 3-strategy cap; tombstone(8) never returned
+    assert ids == {"1", "2", "3", "5"}
+    assert {r["id"] for r in out["edges"].collect()} == {"e1", "e3"}
+    assert out["facts"].count() == 0
+
+
+def test_n6_fact_strategy_and_alias_keyword(n6_graph):
+    nodes, edges, aliases = n6_graph
+
+    def llm(query, schema):
+        return [{"strategy_type": "fact_search", "keywords": ["breach"]},
+                {"strategy_type": "keyword_search",
+                 "keywords": ["globex corporation"]}]
+
+    out = nlquery.explore_with_schema("breach?", nodes, edges,
+                                      aliases=aliases, strategy_fn=llm)
+    facts = out["facts"].collect()
+    assert [(f["fact_type"], f["entity_name"]) for f in facts] == \
+        [("allegation", "allegation: breach of contract")]
+    assert facts[0]["text"] == "Globex alleges breach of contract"
+    # "globex corporation" matches only via the alias join
+    assert "2" in {r["id"] for r in out["entities"].collect()}
+
+
+def test_n6_exception_fallback_common_types(n6_graph):
+    nodes, edges, aliases = n6_graph
+
+    def broken(query, schema):
+        raise ValueError("malformed LLM JSON")
+
+    out = nlquery.explore_with_schema("anything", nodes, edges,
+                                      aliases=aliases, strategy_fn=broken)
+    # reference :1283-1287 — Date/Money/Organization/Person samples, active
+    got = {(r["type"], r["id"]) for r in out["entities"].collect()}
+    assert got == {("Date", "4"), ("Money", "5"), ("Organization", "1"),
+                   ("Organization", "2"), ("Person", "3")}
+    assert out["edges"].count() == 0 and out["facts"].count() == 0
+
+
+def test_n6_embedding_branch_matches_kernel_oracle(spark, n6_graph):
+    """The keyword_search semantic branch must return exactly the entities a
+    driver-side brute force over the same hash-embedding kernel says clear
+    the 0.4 exploration threshold at k=5."""
+    from knowledgegraphsiqidis_spark.functions import embedding as emb
+    from knowledgegraphsiqidis_spark.operators.nlquery import _n6_by_embedding
+    nodes, _, _ = n6_graph
+    kw = "acme corp"
+    rows = [(r["id"], f'{r["canonical_name"]} {r["type"]}')
+            for r in nodes.filter(F.col("status") == "active").collect()]
+    q = emb.hash_embedding(kw)
+    scored = sorted(((emb.cosine(q, emb.hash_embedding(t)), i)
+                     for i, t in rows), key=lambda x: (-x[0], x[1]))
+    expect = {i for c, i in scored[:5] if c > 0.4}
+    got = {r["id"] for r in _n6_by_embedding(nodes, kw).collect()}
+    assert got == expect and len(expect) >= 1
