@@ -123,7 +123,9 @@ def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
         return analytics.top_connected(nodes, edges, k=limit)
 
     if qtype == "fact_search":
-        out = nodes.filter(F.col("type") == "Fact")
+        out = (nodes.filter(F.col("status") == "active")
+               if "status" in nodes.columns else nodes)
+        out = out.filter(F.col("type") == "Fact")
         ft = interp.get("filters", {}).get("fact_type")
         if ft:
             out = out.filter(F.col("properties")["fact_type"] == ft) \
@@ -138,7 +140,10 @@ def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
     # INSIDE the plan — a broadcast 1-row any-match aggregate — so the whole
     # entity query is one Spark action (the earlier limit(1).count() probe
     # was a second action, doubling interactive latency).
-    out = nodes
+    # every reference store read is status='active' (database.py:191-215) —
+    # tombstoned entities (P9) never surface through the query engine
+    out = (nodes.filter(F.col("status") == "active")
+           if "status" in nodes.columns else nodes)
     if etypes:
         out = out.filter(F.col("type").isin(*etypes))
     if mentions:
@@ -518,3 +523,25 @@ def explore_with_schema(query: str, nodes: DataFrame, edges: DataFrame,
         "edges": _union(edge_frames, edges).dropDuplicates(["id"]),
         "facts": _union(fact_frames, empty_facts).dropDuplicates(),
     }
+
+
+def query_with_exploration(question: str, nodes: DataFrame, edges: DataFrame,
+                           aliases: DataFrame | None = None,
+                           extractions: DataFrame | None = None,
+                           strategy_fn=None,
+                           schema_cache: "SchemaCache | None" = None) -> Dict[str, Any]:
+    """N1 + N6 combined entry: dispatch the direct query; when it yields
+    zero rows the reference falls through to schema-aware exploration
+    (nl_query.py:941-943).  Returns ``{"direct", "explored"}`` plus — on
+    the fallback path — the exploration's entities/edges/facts frames.
+    The emptiness probe is one bounded action (``isEmpty`` = limit-1
+    scan), paid only at this interactive surface."""
+    direct = query(question, nodes, edges, extractions)
+    if not direct.isEmpty():
+        return {"direct": direct, "explored": False}
+    out: Dict[str, Any] = explore_with_schema(
+        question, nodes, edges, aliases=aliases, strategy_fn=strategy_fn,
+        schema_cache=schema_cache)
+    out["direct"] = direct
+    out["explored"] = True
+    return out

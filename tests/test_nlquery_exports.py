@@ -318,3 +318,21 @@ def test_n6_embedding_branch_matches_kernel_oracle(spark, n6_graph):
     expect = {i for c, i in scored[:5] if c > 0.4}
     got = {r["id"] for r in _n6_by_embedding(nodes, kw).collect()}
     assert got == expect and len(expect) >= 1
+
+
+def test_n6_query_with_exploration_trigger(n6_graph):
+    """Direct hit -> no exploration; zero-row direct result -> exploration
+    fires (reference trigger nl_query.py:941-943)."""
+    nodes, edges, aliases = n6_graph
+    hit = nlquery.query_with_exploration("Which companies are involved?",
+                                         nodes, edges, aliases=aliases)
+    assert hit["explored"] is False
+    assert {r["canonical_name"] for r in hit["direct"].collect()} == \
+        {"ACME Corporation", "Globex LLC"}
+    # no Location entities exist -> direct empty -> exploration fallback;
+    # the quoted mention feeds the default keyword_search strategy
+    miss = nlquery.query_with_exploration('Where is "Globex" located?',
+                                          nodes, edges, aliases=aliases)
+    assert miss["explored"] is True
+    assert miss["direct"].count() == 0
+    assert "2" in {r["id"] for r in miss["entities"].collect()}
