@@ -97,3 +97,90 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
                         / (_norm(F.col("v_a")) * _norm(F.col("v_b"))))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+
+
+def _kmeans_centroids(sample_vecs, n_centroids: int, iters: int, seed: int):
+    """Deterministic Lloyd's k-means on a bounded driver-side sample
+    (numpy; cosine geometry via L2-normalized vectors, so nearest-centroid
+    by dot product == by cosine).  Returns (n_centroids, dim) float64."""
+    import numpy as np
+    x = np.asarray(sample_vecs, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1.0, norms)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T                        # (n, k) dot == cosine
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 64, n_probe: int = 4,
+             train_sample: int = 20_000, kmeans_iters: int = 5,
+             seed: int = 7, id_col: str = "vec_id",
+             vec_col: str = "embedding", q_id_col: str = "query_id",
+             q_vec_col: str = "query_vec") -> DataFrame:
+    """IVF-partitioned ANN top-k — the coarse-quantizer scale path
+    (FAISS IndexIVFFlat's shape; the reference persists an exhaustive
+    IndexFlatL2, vector_store.py:84-124, which ``cosine_topk`` mirrors).
+
+    Train: deterministic k-means on a seeded, bounded sample collected to
+    the driver (the centroid table is tiny and broadcast — the one piece of
+    ANN state worth centralizing; at 100 TB you'd train on the same bounded
+    sample).  Assign: every vector joins the broadcast centroid table and
+    keeps its argmax-cosine cell — one narrow crossJoin + window, JVM-side,
+    no Python in the plan.  Search: each query probes its ``n_probe``
+    nearest cells; exact cosine runs only inside probed cells, so the
+    candidate join replaces the O(N·Q) cross product with O(N·Q·n_probe/
+    n_centroids) expected work.  A vector lives in exactly one cell, so no
+    cross-probe dedup is needed.  With ``n_probe >= n_centroids`` every
+    cell is probed and the result equals ``cosine_topk`` exactly (the
+    recall-1.0 identity the test pins).  Hot cells (skewed data) bound the
+    worst case — raise ``n_centroids`` or pre-split oversized cells the
+    same way resolve's blocking caps df-heavy keys.
+    """
+    spark = embeddings.sparkSession
+    base = (embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col).cast("array<double>").alias("v"))
+            .localCheckpoint())
+    sample = [r["v"] for r in
+              base.orderBy("vec_id").limit(train_sample).collect()]
+    cents = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(int(i), c.tolist()) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>"))
+
+    def _cell_rank(df, vcol, keycol):
+        sim = (df.crossJoin(cdf)
+               .withColumn("_cs", _dot(F.col(vcol), F.col("cvec"))
+                           / (_norm(F.col(vcol)) * _norm(F.col("cvec")))))
+        w = Window.partitionBy(keycol).orderBy(F.desc("_cs"), F.asc("cid"))
+        return sim.withColumn("_cr", F.row_number().over(w))
+
+    assigned = (_cell_rank(base, "v", "vec_id")
+                .filter(F.col("_cr") == 1)
+                .select("vec_id", "v", "cid"))
+    qs = queries.select(F.col(q_id_col).alias("query_id"),
+                        F.col(q_vec_col).cast("array<double>").alias("q"))
+    probes = (_cell_rank(qs, "q", "query_id")
+              .filter(F.col("_cr") <= n_probe)
+              .select("query_id", "q", "cid"))
+    sim = (assigned.join(F.broadcast(probes), "cid")
+           .withColumn("cosine", _dot(F.col("v"), F.col("q"))
+                       / (_norm(F.col("v")) * _norm(F.col("q"))))
+           .filter(F.col("vec_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 4).alias("cosine")))

@@ -114,3 +114,49 @@ def test_multimodal_plumbing(spark, docs):
     # deterministic: same payload -> same hash/feature
     by_id = {r["media_id"]: r for r in rows}
     assert by_id["m-0"]["content_hash"] == by_id["m-1"]["content_hash"]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe >= n_centroids probes every cell, so IVF must reproduce the
+    exhaustive cosine_topk row-for-row (ranks, ids, rounded cosines)."""
+    import numpy as np
+    from knowledgegraphsiqidis_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    rng = np.random.RandomState(0)
+    vecs = [(i, (rng.standard_normal(8)).tolist()) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame([(i, vecs[i][1]) for i in (0, 7, 23)],
+                               "query_id long, query_vec array<double>")
+    brute = sorted(map(tuple, cosine_topk(emb, qs, k=5).collect()))
+    ivf = sorted(map(tuple, ivf_topk(emb, qs, k=5, n_centroids=8,
+                                     n_probe=8).collect()))
+    assert ivf == brute and len(brute) == 15
+
+
+def test_ivf_probed_recall_and_determinism(spark):
+    """Well-separated clusters: probing 1 of 6 cells keeps high recall vs
+    brute force; repeated runs are bit-identical (seeded training)."""
+    import numpy as np
+    from knowledgegraphsiqidis_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    rng = np.random.RandomState(1)
+    centers = np.eye(3)
+    vecs = []
+    for c in range(3):
+        for j in range(12):
+            v = centers[c] + 0.05 * rng.standard_normal(3)
+            vecs.append((c * 12 + j, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qs = spark.createDataFrame(
+        [(100 + c, centers[c].tolist()) for c in range(3)],
+        "query_id long, query_vec array<double>")
+    kw = dict(k=5, n_centroids=6, n_probe=1)
+    got = {(r["query_id"], r["vec_id"]) for r in
+           ivf_topk(emb, qs, **kw).collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in
+            cosine_topk(emb, qs, k=5).collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
+    again = {(r["query_id"], r["vec_id"]) for r in
+             ivf_topk(emb, qs, **kw).collect()}
+    assert again == got
