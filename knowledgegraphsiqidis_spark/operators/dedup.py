@@ -194,3 +194,25 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
             .withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def embedding_near_dup(docs: DataFrame, threshold: float = 0.85,
+                       dim: int = 64, n_planes: int = 16, bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic member of the
+    dedup family (exact / n-gram Jaccard / MinHash / SimHash / embedding).
+
+    Embeds each document with the pluggable deterministic hash embedding
+    (functions/embedding — swap a model UDF in without touching the plan)
+    and finds cosine >= threshold pairs via the banded hyperplane-LSH
+    candidate join + exact verify (`similarity.lsh_cosine_pairs`): never
+    all-pairs, so the shape survives a 100-TB corpus — candidate volume is
+    governed by bucket collisions, not N².  Returns (id_a, id_b, cosine).
+    """
+    from ..operators.similarity import lsh_cosine_pairs
+    from ..operators.resolve import _embed_udf
+    emb = docs.select(F.col(id_col).alias("vec_id"),
+                      _embed_udf(F.col(text_col)).alias("embedding"))
+    return lsh_cosine_pairs(emb, dim=dim, n_planes=n_planes, bands=bands,
+                            threshold=threshold)

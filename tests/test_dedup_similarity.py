@@ -160,3 +160,21 @@ def test_ivf_probed_recall_and_determinism(spark):
     again = {(r["query_id"], r["vec_id"]) for r in
              ivf_topk(emb, qs, **kw).collect()}
     assert again == got
+
+
+def test_embedding_near_dup(spark, docs):
+    """Semantic near-dup completes the dedup family: exact + near pairs
+    found, cross-language/content pairs rejected, pairs agree with the
+    driver-side kernel cosine."""
+    from knowledgegraphsiqidis_spark.functions.embedding import (
+        cosine, hash_embedding)
+    from knowledgegraphsiqidis_spark.operators.dedup import embedding_near_dup
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in embedding_near_dup(docs, threshold=0.85).collect()}
+    assert got[(0, 1)] == 1.0                       # exact dup
+    assert (0, 6) in got                            # near dup (kernel 0.945)
+    assert all({a, b} <= {0, 1, 2, 6} for a, b in got)  # no cross-content
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), c in got.items():
+        k = cosine(hash_embedding(texts[a]), hash_embedding(texts[b]))
+        assert c == pytest.approx(k, abs=1e-4), (a, b)
