@@ -82,6 +82,16 @@ def interpret_query(query: str) -> Dict[str, Any]:
     return interp
 
 
+def _active(nodes: DataFrame) -> DataFrame:
+    """status='active' with a column-presence guard: every reference store
+    read is active-only (database.py:191-215), but a status-less nodes
+    frame is explicitly supported — one guard shared by execute_query and
+    ALL N6 helpers so the exploration fallback can never raise on a frame
+    the direct path accepted (ADVICE r5)."""
+    return (nodes.filter(F.col("status") == "active")
+            if "status" in nodes.columns else nodes)
+
+
 def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
                   extractions: DataFrame | None = None,
                   limit: int = 25) -> DataFrame:
@@ -123,9 +133,7 @@ def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
         return analytics.top_connected(nodes, edges, k=limit)
 
     if qtype == "fact_search":
-        out = (nodes.filter(F.col("status") == "active")
-               if "status" in nodes.columns else nodes)
-        out = out.filter(F.col("type") == "Fact")
+        out = _active(nodes).filter(F.col("type") == "Fact")
         ft = interp.get("filters", {}).get("fact_type")
         if ft:
             out = out.filter(F.col("properties")["fact_type"] == ft) \
@@ -142,8 +150,7 @@ def execute_query(interp: Dict[str, Any], nodes: DataFrame, edges: DataFrame,
     # was a second action, doubling interactive latency).
     # every reference store read is status='active' (database.py:191-215) —
     # tombstoned entities (P9) never surface through the query engine
-    out = (nodes.filter(F.col("status") == "active")
-           if "status" in nodes.columns else nodes)
+    out = _active(nodes)
     if etypes:
         out = out.filter(F.col("type").isin(*etypes))
     if mentions:
@@ -322,7 +329,7 @@ def graph_schema(nodes: DataFrame, edges: DataFrame) -> str:
     entity-type counts desc, top-30 relation types desc, 5 sample names for
     key types, totals.  Driver-side by nature — the string feeds a prompt —
     but built from three bounded aggregations, never a full collect."""
-    active = nodes.filter(F.col("status") == "active")
+    active = _active(nodes)
     etypes = sorted(((r["type"], r["n"]) for r in
                      active.groupBy("type").agg(F.count("*").alias("n"))
                      .collect()), key=lambda x: (-x[1], x[0]))
@@ -397,8 +404,7 @@ def default_strategies(query: str, schema: str = "") -> list:
 
 def _n6_by_type(nodes: DataFrame, etype: str, n: int) -> DataFrame:
     # get_entities_by_type (database.py:191-196): active only, LIMIT n
-    return (nodes.filter((F.col("status") == "active")
-                         & (F.col("type") == etype))
+    return (_active(nodes).filter(F.col("type") == etype)
             .orderBy("id").limit(n))
 
 
@@ -406,14 +412,13 @@ def _n6_by_name(nodes: DataFrame, aliases, kw: str, n: int) -> DataFrame:
     # search_entities_by_name (database.py:204-215): canonical OR alias
     # LIKE, active, LIMIT n
     pat = kw.lower()
-    hit = nodes.filter((F.col("status") == "active")
-                       & F.lower("canonical_name").contains(pat))
+    active = _active(nodes)
+    hit = active.filter(F.lower("canonical_name").contains(pat))
     if aliases is not None:
         via = (aliases.filter(F.lower("alias_text").contains(pat))
                .select(F.col("entity_id").alias("id")).distinct())
-        hit = (hit.unionByName(
-            nodes.filter(F.col("status") == "active").join(via, "id"))
-            .dropDuplicates(["id"]))
+        hit = (hit.unionByName(active.join(via, "id"))
+               .dropDuplicates(["id"]))
     return hit.orderBy("id").limit(n)
 
 
@@ -428,7 +433,7 @@ def _n6_by_embedding(nodes: DataFrame, kw: str, k: int = 5,
     from . import similarity
     from .resolve import _embed_udf
     spark = nodes.sparkSession
-    base = (nodes.filter(F.col("status") == "active")
+    base = (_active(nodes)
             .withColumn("embedding",
                         _embed_udf(F.concat_ws(" ", "canonical_name",
                                                "type"))))
@@ -443,10 +448,14 @@ def _n6_by_embedding(nodes: DataFrame, kw: str, k: int = 5,
 
 
 def _n6_facts(nodes: DataFrame, keywords: list):
-    """fact_search strategy (nl_query.py:1266-1281): first 50 Fact
-    entities; keep those whose text contains any keyword (all when no
-    keywords); emit both the fact rows and the fact entities."""
-    facts = (nodes.filter(F.col("type") == "Fact").orderBy("id").limit(50))
+    """fact_search strategy (nl_query.py:1266-1281): first 50 ACTIVE Fact
+    entities (the reference reads via get_entities_by_type, active-only —
+    a tombstoned fact must neither surface nor displace an active one
+    inside the LIMIT-50 window; ADVICE r5); keep those whose text contains
+    any keyword (all when no keywords); emit both the fact rows and the
+    fact entities."""
+    facts = (_active(nodes).filter(F.col("type") == "Fact")
+             .orderBy("id").limit(50))
     txt = (F.coalesce(F.col("properties")["full_text"],
                       F.col("canonical_name"))
            if "properties" in nodes.columns else F.col("canonical_name"))

@@ -154,6 +154,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             .localCheckpoint())
     sample = [r["v"] for r in
               base.orderBy("vec_id").limit(train_sample).collect()]
+    if not sample:
+        # no vectors → no cells to train; raising inside _kmeans_centroids
+        # ((0,)-shaped norm / choice(0)) was the ADVICE r5 crash.  The
+        # empty frame keeps the inputs' id types; base's pin is released
+        # (nothing downstream references it on this path).
+        from .analytics import _unpin
+        empty = (queries.select(F.col(q_id_col).alias("query_id")).limit(0)
+                 .crossJoin(base.select("vec_id").limit(0))
+                 .select("query_id", "vec_id",
+                         F.lit(0).cast("int").alias("rank"),
+                         F.lit(0.0).alias("cosine"))
+                 .localCheckpoint())
+        _unpin(base)
+        return empty
     cents = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
     cdf = F.broadcast(spark.createDataFrame(
         [(int(i), c.tolist()) for i, c in enumerate(cents)],
@@ -180,7 +194,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
            .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
-    return (sim.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "vec_id", "rank",
-                    F.round("cosine", 4).alias("cosine")))
+    out = (sim.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select("query_id", "vec_id", "rank",
+                   F.round("cosine", 4).alias("cosine"))
+           # materialize (small: ≤ Q×k rows) so base's pin can be released
+           # here instead of leaking until the caller's session ends
+           .localCheckpoint())
+    from .analytics import _unpin
+    _unpin(base)
+    return out

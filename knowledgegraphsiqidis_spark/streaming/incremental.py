@@ -51,6 +51,14 @@ State layout under ``out_dir``:
   under the previous committed state survives one further commit; handles
   older than two commits must be re-fetched.
 
+Upgraded stores: a store written before the generation change keeps its
+edges under the legacy layout ``edges/batch=N`` (no ``g=`` level, no
+``src_batch`` column).  Those directories stay authoritative for their
+batch ids — reads union both layouts — until the first out-of-order
+rewrite or compaction consolidates them under a generation, after which
+they are GC'd with the usual one-commit retention
+(:meth:`IncrementalKG._edges_parts`).
+
 Small-file growth is bounded by :meth:`IncrementalKG.compact` (manual, or
 automatic every ``compact_every`` batches): it consolidates each table's
 committed per-batch directories into ONE directory under a bumped
@@ -272,7 +280,7 @@ class IncrementalKG:
                 "last_stream_batch": -1, "batch_metrics": [],
                 "pending_gc": []}
 
-    def _commit(self, st: dict) -> None:
+    def _commit(self, st: dict, extra_gc=()) -> None:
         """Atomic commit: every table this batch produced is already on
         disk; the state write is the single switch that makes them
         visible.  GC runs with ONE-COMMIT RETENTION: directories this
@@ -280,9 +288,11 @@ class IncrementalKG:
         PREVIOUS commit recorded is deleted now (crash-safe: the current
         version/generation is never touched, and a lazy reader handle
         obtained under the previous committed state survives this commit —
-        module docstring)."""
+        module docstring).  ``extra_gc``: directories superseded by this
+        commit that the layout scan below can't see (the pre-generation
+        legacy edges dirs a consolidation absorbs)."""
         old_pending = st.get("pending_gc", [])
-        pending: list[str] = []
+        pending: list[str] = list(extra_gc)
         for snap in ("forms", "block_stats", "nodes"):
             keep = os.path.join(self.out_dir, snap, f"v={st['n_batches']}")
             pending += [d for d in
@@ -324,6 +334,53 @@ class IncrementalKG:
         df = (self.spark.read.option("basePath", base).parquet(base)
               .filter(F.col("batch") <= upto).drop("batch"))
         return df
+
+    def _edges_parts(self, upto: int, gen: int, st: dict,
+                     required: bool = True) -> DataFrame | None:
+        """Committed edges rows, with a fallback for the pre-generation
+        layout (``edges/batch=N`` directly under out_dir: no ``g=`` level,
+        no ``src_batch`` column — what every store written before the
+        generation change contains).  Legacy directories stay authoritative
+        for their batch ids until an out-of-order rewrite or
+        :meth:`compact` consolidates them into a generation (setting
+        ``edges_legacy_absorbed`` in the state and scheduling the legacy
+        dirs for GC); until then reads UNION both layouts — batch ids never
+        overlap because monotonic ingest only appends new ids under ``g=``.
+        Without this, a pre-upgrade store's edges raised FileNotFoundError,
+        and silently vanished once the next ingest created the first
+        ``g=``-scoped dir (ADVICE r5 high)."""
+        parts = []
+        if glob.glob(self._path("edges", f"g={gen}", "batch=*")):
+            parts.append(self._parts("edges", upto, None, gen=gen))
+        legacy_dirs = sorted(glob.glob(self._path("edges", "batch=*")))
+        if legacy_dirs and not st.get("edges_legacy_absorbed"):
+            df = (self.spark.read.option("basePath", self._path("edges"))
+                  .parquet(*legacy_dirs)
+                  .filter(F.col("batch") <= upto))
+            if "src_batch" not in df.columns:
+                # legacy rows predate the src_batch column: tag from the
+                # directory partition so carry-forward can scope them
+                df = df.withColumn("src_batch", F.col("batch"))
+            parts.append(df.drop("batch"))
+        if not parts:
+            if required:
+                raise FileNotFoundError(self._path("edges", f"g={gen}"))
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _legacy_edges_gc(self, st: dict) -> list:
+        """Mark the legacy edges layout absorbed (a consolidation just
+        rewrote its content under a new generation) and return the legacy
+        dirs for ``extra_gc`` — deleted at the NEXT commit, one-commit
+        retention like every other superseded directory."""
+        dirs = sorted(glob.glob(self._path("edges", "batch=*")))
+        if dirs and not st.get("edges_legacy_absorbed"):
+            st["edges_legacy_absorbed"] = True
+            return dirs
+        return []
 
     def _snap(self, table: str, v: int, ddl: str) -> DataFrame:
         p = self._path(table, f"v={v}")
@@ -812,10 +869,11 @@ class IncrementalKG:
         # the committed edges dirs of the old generation stay intact until
         # the commit point (the round-4 atomicity fix)
         parts = []
-        if glob.glob(self._path("edges", f"g={st['gen']}", "batch=*")):
-            carried = (self._parts("edges", bid - 1, None, gen=st["gen"])
-                       .filter(~F.col("src_batch").isin(dirty_batches)))
-            parts.append(carried)
+        carried_all = self._edges_parts(bid - 1, st["gen"], st,
+                                        required=False)
+        if carried_all is not None:
+            parts.append(carried_all
+                         .filter(~F.col("src_batch").isin(dirty_batches)))
         for b in dirty_batches:
             ext_p = with_batch.filter(F.col("batch") == b).drop("batch") \
                 .localCheckpoint()
@@ -840,7 +898,9 @@ class IncrementalKG:
             "full_rebuild": bool(full_rebuild),
             "n_rematerialized_batches": len(dirty_batches),
             "wall_sec": round(time.time() - t0, 2)})
-        self._commit(st)
+        # the consolidated g=gen dir now covers every batch, including any
+        # pre-upgrade legacy edges dirs read through _edges_parts — absorb
+        self._commit(st, extra_gc=self._legacy_edges_gc(st))
         self._maybe_autocompact()
 
     # -- compaction ---------------------------------------------------------
@@ -870,12 +930,15 @@ class IncrementalKG:
                            ("keyed_forms", _KF_DDL)):
             df = self._parts(table, bid, ddl, gen=st["gen"])
             self._write_part(df, table, bid, gen=gen)
-        if glob.glob(self._path("edges", f"g={st['gen']}", "batch=*")):
-            self._write_part(
-                self._parts("edges", bid, None, gen=st["gen"]),
-                "edges", bid, gen=gen)
+        extra_gc = []
+        edges_all = self._edges_parts(bid, st["gen"], st, required=False)
+        if edges_all is not None:
+            self._write_part(edges_all, "edges", bid, gen=gen)
+            # compaction is also the migration point for a pre-upgrade
+            # store's legacy edges/batch=N dirs (ADVICE r5 high)
+            extra_gc = self._legacy_edges_gc(st)
         st["gen"] = gen
-        self._commit(st)
+        self._commit(st, extra_gc=extra_gc)
 
     # -- read side ---------------------------------------------------------
     # NOTE (one-commit GC retention, module docstring): a DataFrame handle
@@ -891,8 +954,7 @@ class IncrementalKG:
 
     def edges(self) -> DataFrame:
         st = self._state()
-        return (self._parts("edges", st["n_batches"] - 1, None,
-                            gen=st["gen"])
+        return (self._edges_parts(st["n_batches"] - 1, st["gen"], st)
                 .drop("src_batch"))
 
     def matches(self) -> DataFrame:

@@ -61,9 +61,10 @@ def main():
         pre = hardware_ceiling(n, n4) / 4
         if pre < run_floor:
             attempts.append({"attempt": i, "pre_ceiling": round(pre, 3),
-                             "skipped": True})
+                             "run_floor": run_floor, "skipped": True})
             print(f"attempt {i}: window disqualified before the pair "
-                  f"(ceiling {pre:.3f} < {floor}) — waiting", flush=True)
+                  f"(ceiling {pre:.3f} < run-floor {run_floor}) — waiting",
+                  flush=True)
             time.sleep(60)
             continue
         lo = run_level(n, n_conv)

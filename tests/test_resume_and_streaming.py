@@ -216,7 +216,7 @@ def test_incremental_crash_replay(spark, tmp_path, monkeypatch):
     t1 = {tuple(r) for r in kg.triples().collect()}
 
     monkeypatch.setattr(inc.IncrementalKG, "_commit",
-                        lambda self, st: None)  # crash at the commit point
+                        lambda self, st, extra_gc=(): None)  # crash @ commit
     kg.process_batch(b2)
     monkeypatch.undo()
     # pre-commit: readers still see the batch-1 snapshot only
@@ -344,7 +344,7 @@ def test_oo_crash_atomicity(spark, tmp_path, monkeypatch):
     before = {tuple(r) for r in kg.triples().collect()}
 
     monkeypatch.setattr(inc.IncrementalKG, "_commit",
-                        lambda self, st: None)  # crash at the commit point
+                        lambda self, st, extra_gc=(): None)  # crash @ commit
     kg.process_batch(full.filter((F.col("conv_id") >= c10)
                                  & (F.col("conv_id") < c20)))
     monkeypatch.undo()
@@ -355,3 +355,74 @@ def test_oo_crash_atomicity(spark, tmp_path, monkeypatch):
     kg2.process_batch(full.filter((F.col("conv_id") >= c10)
                                   & (F.col("conv_id") < c20)))
     assert {tuple(r) for r in kg2.triples().collect()} == expected
+
+
+def _downgrade_edges_layout(spark, out_dir):
+    """Rewrite a store's edges into the PRE-generation layout the ADVICE r5
+    high finding describes: ``edges/batch=N`` directly under out_dir, no
+    ``g=`` level, no ``src_batch`` column."""
+    import json
+    import shutil
+
+    with open(os.path.join(out_dir, "_incremental_state.json")) as f:
+        st = json.load(f)
+    gen_base = os.path.join(out_dir, "edges", f"g={st['gen']}")
+    df = spark.read.option("basePath", gen_base).parquet(gen_base)
+    for b in sorted(r["src_batch"] for r in
+                    df.select("src_batch").distinct().collect()):
+        (df.filter(F.col("src_batch") == b).drop("src_batch", "batch")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "edges", f"batch={b}")))
+    for g in glob.glob(os.path.join(out_dir, "edges", "g=*")):
+        shutil.rmtree(g)
+
+
+def test_legacy_edges_layout_upgrade(spark, tmp_path):
+    """ADVICE r5 (high): a store written before edges moved under
+    generation-scoped dirs (legacy ``edges/batch=N``, no ``src_batch``)
+    must stay fully readable after the upgrade — through edges()/triples(),
+    through a subsequent MONOTONIC ingest (the silent-vanish case: the
+    first ``g=`` dir used to shadow the legacy dirs), and through an
+    out-of-order rewrite's carry-forward (the empty-``carried`` case).
+    Consolidation absorbs the legacy dirs and GC's them one commit later."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+
+    pdf = transcripts_pdf(32, seed=11)
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_DDL)
+    expected = {tuple(r) for r in run_pipeline(spark, full)
+                .triples().collect()}
+    c8, c16, c24 = "conv-00000008", "conv-00000016", "conv-00000024"
+
+    out = str(tmp_path / "legkg")
+    kg = IncrementalKG(spark, out)
+    kg.process_batch(full.filter(F.col("conv_id") < c8))
+    kg.process_batch(full.filter((F.col("conv_id") >= c8)
+                                 & (F.col("conv_id") < c16)))
+    base_triples = {tuple(r) for r in kg.triples().collect()}
+    assert base_triples
+
+    _downgrade_edges_layout(spark, out)
+    kg = IncrementalKG(spark, out)  # fresh handle over the legacy store
+
+    # (a) pure read: the fallback finds the legacy dirs (used to raise)
+    assert {tuple(r) for r in kg.triples().collect()} == base_triples
+
+    # (b) monotonic ingest creates the first g= dir; pre-upgrade edges must
+    # NOT vanish from the union (the silent-data-loss case)
+    kg.process_batch(full.filter(F.col("conv_id") >= c24))
+    after_mono = {tuple(r) for r in kg.triples().collect()}
+    assert base_triples <= after_mono
+    assert len(after_mono) > len(base_triples)
+    assert glob.glob(os.path.join(out, "edges", "batch=*"))  # still live
+
+    # (c) out-of-order rewrite: carried edges come through the fallback and
+    # the consolidation absorbs the legacy layout
+    kg.process_batch(full.filter((F.col("conv_id") >= c16)
+                                 & (F.col("conv_id") < c24)))
+    assert {tuple(r) for r in kg.triples().collect()} == expected
+    assert kg._state().get("edges_legacy_absorbed") is True
+    # one-commit retention: dirs are pending, deleted at the NEXT commit
+    assert glob.glob(os.path.join(out, "edges", "batch=*"))
+    kg.compact()
+    assert not glob.glob(os.path.join(out, "edges", "batch=*"))
+    assert {tuple(r) for r in kg.triples().collect()} == expected
