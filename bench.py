@@ -137,6 +137,87 @@ def main():
         df.agg(F.count(F.lit(1))).collect()
         timings[name] = round(time.time() - t, 3)
 
+    # --- second scale point (VERDICT r5 #6): turns/sec vs corpus size is
+    # a measured curve (2x conversations through the same pipeline), and
+    # the dedup/ANN suite runs at 10x candidate volume so df-cap and LSH
+    # bucket-occupancy behavior is measured, not extrapolated ---
+    scale2 = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "1") != "0":
+        t0 = time.time()
+        tr2 = transcripts_df(spark, 2 * n_conv, seed=42).localCheckpoint()
+        n_turns2 = tr2.count()
+        gen2 = time.time() - t0
+        runs2 = []
+        for _ in range(n_reps):
+            t1 = time.time()
+            run_pipeline(spark, tr2, n_turns=int(n_turns2)) \
+                .triples().count()
+            runs2.append(round(time.time() - t1, 3))
+        kg2_sec = sorted(runs2)[len(runs2) // 2]
+
+        # 10x candidate volume: replicate documents (some replicas exact
+        # dups, some one-token-off near-dups — both dedup regimes grow)
+        # and embeddings (small deterministic additive perturbation: a
+        # pure scale factor would leave cosine identical)
+        d10 = os.path.join("/tmp", "bench10x_"
+                           + os.path.basename(sf_dir.rstrip("/")))
+        reps10 = spark.range(10).select(F.col("id").cast("int")
+                                        .alias("_rep"))
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # per-doc replica mix: {0,5} exact dups, {1,6} one-token near-dups
+        # (a 4-clique per doc across both regimes), the rest distinct via
+        # per-rep character translation — word reordering is NOT enough,
+        # bag-of-trigram embeddings are permutation-insensitive and every
+        # replica would land in one near-dup clique
+        txt = (F.when(F.col("_rep").isin(0, 5), F.col("text"))
+               .when(F.col("_rep").isin(1, 6),
+                     F.concat_ws(" ", "text", "_rep")))
+        for r, m in ((2, "eiouast"), (3, "iouaest"), (4, "ouaiets"),
+                     (7, "uaieost"), (8, "aeuiots"), (9, "eoaiuts")):
+            txt = txt.when(F.col("_rep") == r,
+                           F.concat_ws(" ", F.translate("text", "aeioust",
+                                                        m), F.lit(str(r))))
+        (docs.crossJoin(F.broadcast(reps10))
+         .select((F.col("doc_id") + F.col("_rep") * 10_000_000)
+                 .alias("doc_id"),
+                 txt.otherwise(F.col("text")).alias("text"),
+                 "lang", "source", "n_chars")
+         .write.mode("overwrite")
+         .parquet(os.path.join(d10, "documents.parquet")))
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        (emb.crossJoin(F.broadcast(reps10))
+         .select((F.col("vec_id") + F.col("_rep") * 10_000_000)
+                 .alias("vec_id"),
+                 F.transform(
+                     "embedding",
+                     lambda x, i: x + F.col("_rep").cast("float")
+                     * F.sin(i.cast("double")).cast("float") * F.lit(0.01))
+                 .alias("embedding"),
+                 "label")
+         .write.mode("overwrite")
+         .parquet(os.path.join(d10, "embeddings.parquet")))
+
+        t10: dict[str, float] = {}
+        rows10: dict[str, int] = {}
+        for name in ("dedup_exact_groups", "ngram_jaccard", "minhash_lsh",
+                     "simhash_pairs", "embedding_near_dup",
+                     "ann_cosine_topk", "ivf_topk"):
+            t = time.time()
+            df = qs[name](spark, d10)
+            rows10[name] = df.count()
+            t10[name] = round(time.time() - t, 3)
+        scale2 = {
+            "n_conversations": 2 * n_conv,
+            "n_turns": int(n_turns2),
+            "kg_runs_sec": runs2,
+            "kg_sec": kg2_sec,
+            "turns_per_sec": round(n_turns2 / kg2_sec, 1),
+            "gen_sec": round(gen2, 3),
+            "dedup10x_sec": t10,
+            "dedup10x_rows": rows10,
+            "dedup10x_n_docs": 10 * int(docs.count()),
+        }
+
     calib_post = host_calibration()
 
     total = round(sum(timings.values()), 3)
@@ -160,6 +241,7 @@ def main():
             "gen_sec": round(gen_sec, 3),
             "cpus": cpus,
         },
+        "scale2": scale2,
     }))
 
 

@@ -51,13 +51,24 @@ State layout under ``out_dir``:
   under the previous committed state survives one further commit; handles
   older than two commits must be re-fetched.
 
+The edges table additionally supports a committed VIEW
+(``edges_sources`` in the state — the parquet analogue of an Iceberg
+manifest list): a list of directory references, each contributing one
+committed directory minus the ``src_batch`` ids a later rewrite
+superseded.  The first out-of-order rewrite (or a compaction) installs
+it; from then on an OO rewrite's carry-forward of untouched batches is
+METADATA-ONLY — the old-generation directories stay in place and the new
+state simply keeps referencing them — so edges write IO scales with the
+dirty batches, not the store.  GC keys off view membership: a directory
+lives exactly as long as some committed view references it.
+
 Upgraded stores: a store written before the generation change keeps its
 edges under the legacy layout ``edges/batch=N`` (no ``g=`` level, no
 ``src_batch`` column).  Those directories stay authoritative for their
-batch ids — reads union both layouts — until the first out-of-order
-rewrite or compaction consolidates them under a generation, after which
-they are GC'd with the usual one-commit retention
-(:meth:`IncrementalKG._edges_parts`).
+batch ids — reads union both layouts, and the first rewrite carries them
+into the view as single-batch references — until a compaction
+consolidates everything into one directory, after which they are GC'd
+with the usual one-commit retention (:meth:`IncrementalKG._edges_parts`).
 
 Small-file growth is bounded by :meth:`IncrementalKG.compact` (manual, or
 automatic every ``compact_every`` batches): it consolidates each table's
@@ -289,8 +300,7 @@ class IncrementalKG:
         version/generation is never touched, and a lazy reader handle
         obtained under the previous committed state survives this commit —
         module docstring).  ``extra_gc``: directories superseded by this
-        commit that the layout scan below can't see (the pre-generation
-        legacy edges dirs a consolidation absorbs)."""
+        commit that the layout scan below can't see."""
         old_pending = st.get("pending_gc", [])
         pending: list[str] = list(extra_gc)
         for snap in ("forms", "block_stats", "nodes"):
@@ -299,10 +309,33 @@ class IncrementalKG:
                         glob.glob(os.path.join(self.out_dir, snap, "v=*"))
                         if d != keep]
         for table in ("matches", "block_index", "form_component",
-                      "keyed_forms", "edges"):
+                      "keyed_forms"):
             keep = os.path.join(self.out_dir, table, f"g={st['gen']}")
             pending += [d for d in
                         glob.glob(os.path.join(self.out_dir, table, "g=*"))
+                        if d != keep]
+        if st.get("edges_sources") is not None:
+            # view mode: an edges directory lives exactly as long as the
+            # view references it — generation membership is irrelevant
+            # (old-generation dirs carried by reference MUST survive).
+            # A generation dir none of whose leaves is referenced is
+            # pended WHOLE, so superseded generations don't linger as
+            # empty g= parents after their leaves are GC'd.
+            referenced = {os.path.join(self.out_dir, e["path"])
+                          for e in st["edges_sources"]}
+            ref_parents = {os.path.dirname(p) for p in referenced}
+            for gdir in glob.glob(self._path("edges", "g=*")):
+                if gdir not in ref_parents:
+                    pending.append(gdir)
+                else:
+                    pending += [d for d in
+                                glob.glob(os.path.join(gdir, "batch=*"))
+                                if d not in referenced]
+            pending += [d for d in glob.glob(self._path("edges", "batch=*"))
+                        if d not in referenced]
+        else:
+            keep = self._path("edges", f"g={st['gen']}")
+            pending += [d for d in glob.glob(self._path("edges", "g=*"))
                         if d != keep]
         st["pending_gc"] = sorted(set(pending) - set(old_pending))
         p = os.path.join(self.out_dir, _STATE)
@@ -337,29 +370,32 @@ class IncrementalKG:
 
     def _edges_parts(self, upto: int, gen: int, st: dict,
                      required: bool = True) -> DataFrame | None:
-        """Committed edges rows, with a fallback for the pre-generation
-        layout (``edges/batch=N`` directly under out_dir: no ``g=`` level,
-        no ``src_batch`` column — what every store written before the
-        generation change contains).  Legacy directories stay authoritative
-        for their batch ids until an out-of-order rewrite or
-        :meth:`compact` consolidates them into a generation (setting
-        ``edges_legacy_absorbed`` in the state and scheduling the legacy
-        dirs for GC); until then reads UNION both layouts — batch ids never
-        overlap because monotonic ingest only appends new ids under ``g=``.
-        Without this, a pre-upgrade store's edges raised FileNotFoundError,
-        and silently vanished once the next ingest created the first
-        ``g=``-scoped dir (ADVICE r5 high)."""
+        """Committed edges rows.
+
+        Two layouts compose, so pre-upgrade stores stay fully readable
+        (ADVICE r5 high): the generation-scoped dirs
+        (``edges/g=G/batch=N``, rows carry ``src_batch``) and the
+        pre-generation legacy dirs (``edges/batch=N`` directly under
+        out_dir, no ``src_batch`` column — tagged here from the directory
+        partition).  Batch ids never overlap between them because
+        monotonic ingest only appends new ids under ``g=``.
+
+        When the committed state carries an ``edges_sources`` VIEW
+        (written by the first out-of-order rewrite — see
+        :meth:`_synth_edges_view`), the view is authoritative instead and
+        both layouts' directories are read through it."""
+        view = st.get("edges_sources")
+        if view is not None:
+            return self._edges_from_view(view, required=required)
         parts = []
         if glob.glob(self._path("edges", f"g={gen}", "batch=*")):
             parts.append(self._parts("edges", upto, None, gen=gen))
         legacy_dirs = sorted(glob.glob(self._path("edges", "batch=*")))
-        if legacy_dirs and not st.get("edges_legacy_absorbed"):
+        if legacy_dirs:
             df = (self.spark.read.option("basePath", self._path("edges"))
                   .parquet(*legacy_dirs)
                   .filter(F.col("batch") <= upto))
             if "src_batch" not in df.columns:
-                # legacy rows predate the src_batch column: tag from the
-                # directory partition so carry-forward can scope them
                 df = df.withColumn("src_batch", F.col("batch"))
             parts.append(df.drop("batch"))
         if not parts:
@@ -371,16 +407,55 @@ class IncrementalKG:
             out = out.unionByName(p)
         return out
 
-    def _legacy_edges_gc(self, st: dict) -> list:
-        """Mark the legacy edges layout absorbed (a consolidation just
-        rewrote its content under a new generation) and return the legacy
-        dirs for ``extra_gc`` — deleted at the NEXT commit, one-commit
-        retention like every other superseded directory."""
-        dirs = sorted(glob.glob(self._path("edges", "batch=*")))
-        if dirs and not st.get("edges_legacy_absorbed"):
-            st["edges_legacy_absorbed"] = True
-            return dirs
-        return []
+    def _synth_edges_view(self, st: dict, upto: int) -> list:
+        """The edges table as a list of directory REFERENCES (VERDICT r5
+        #5 — the parquet analogue of Iceberg manifest reuse): each entry
+        ``{"path", "batches", "exclude"}`` contributes one committed
+        directory minus the ``src_batch`` ids a later rewrite superseded.
+        ``batches`` lists the src_batch ids the directory holds (None =
+        unknown, for consolidated dirs) so a fully-superseded directory
+        can be detected and GC'd.  Returns the committed view, or
+        synthesizes one from the directory layout for stores that predate
+        the view (one entry per committed dir; legacy dirs are
+        single-batch by construction)."""
+        view = st.get("edges_sources")
+        if view is not None:
+            return view
+        view = []
+        for d in sorted(glob.glob(self._path("edges", f"g={st['gen']}",
+                                             "batch=*"))):
+            if int(os.path.basename(d).split("=")[1]) <= upto:
+                view.append({"path": os.path.relpath(d, self.out_dir),
+                             "batches": None, "exclude": []})
+        for d in sorted(glob.glob(self._path("edges", "batch=*"))):
+            n = int(os.path.basename(d).split("=")[1])
+            if n <= upto:
+                view.append({"path": os.path.relpath(d, self.out_dir),
+                             "batches": [n], "exclude": []})
+        return view
+
+    def _edges_from_view(self, view: list,
+                         required: bool = True) -> DataFrame | None:
+        parts = []
+        for ent in view:
+            df = self.spark.read.parquet(
+                os.path.join(self.out_dir, ent["path"]))
+            if "src_batch" not in df.columns:
+                # legacy single-batch dir — tag from the entry
+                df = df.withColumn("src_batch",
+                                   F.lit(int(ent["batches"][0])))
+            ex = [int(x) for x in (ent.get("exclude") or [])]
+            if ex:
+                df = df.filter(~F.col("src_batch").isin(ex))
+            parts.append(df)
+        if not parts:
+            if required:
+                raise FileNotFoundError(self._path("edges"))
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _snap(self, table: str, v: int, ddl: str) -> DataFrame:
         p = self._path(table, f"v={v}")
@@ -585,6 +660,13 @@ class IncrementalKG:
         # compaction) can carry forward the batches it did not touch
         self._write_part(edges_b.withColumn("src_batch", F.lit(bid)),
                          "edges", bid, gen=st["gen"])
+        if st.get("edges_sources") is not None:
+            # view mode (post-OO/compaction store): the new per-batch dir
+            # joins the view; commit makes it visible atomically
+            st["edges_sources"] = st["edges_sources"] + [
+                {"path": os.path.join("edges", f"g={st['gen']}",
+                                      f"batch={bid}"),
+                 "batches": [bid], "exclude": []}]
 
         st["n_batches"] = bid + 1
         if hi is not None:
@@ -863,30 +945,49 @@ class IncrementalKG:
              .select("batch").distinct().collect()))
         if bid not in dirty_batches:
             dirty_batches.append(bid)
-        # one consolidated edges directory under the new generation:
-        # untouched batches are carried forward by their src_batch tag
-        # (bulk key-only IO, no recompute), dirty ones re-materialized —
-        # the committed edges dirs of the old generation stay intact until
-        # the commit point (the round-4 atomicity fix)
-        parts = []
-        carried_all = self._edges_parts(bid - 1, st["gen"], st,
-                                        required=False)
-        if carried_all is not None:
-            parts.append(carried_all
-                         .filter(~F.col("src_batch").isin(dirty_batches)))
-        for b in dirty_batches:
+        # VERDICT r5 #5 — carry-forward is METADATA-ONLY (the parquet
+        # analogue of Iceberg manifest reuse): untouched batches stay in
+        # their committed old-generation directories and the new state's
+        # edges view keeps REFERENCING them (with the dirty src_batch ids
+        # excluded); only the dirty batches are re-materialized, each into
+        # its own dir under the new generation.  Write IO therefore scales
+        # with the dirty batches, not the store — pinned by the
+        # n_edges_dirs_* / edges_bytes_written batch metrics.
+        dirty = set(dirty_batches)
+        all_committed = set(range(bid + 1))
+        view = []
+        for ent in self._synth_edges_view(st, bid - 1):
+            known = (None if ent["batches"] is None
+                     else set(int(x) for x in ent["batches"]))
+            ex = set(int(x) for x in (ent.get("exclude") or []))
+            ex |= dirty if known is None else (dirty & known)
+            # fully superseded — every src_batch the dir can hold is
+            # excluded (any dir's src_batch ids are ⊆ the committed batch
+            # ids, so unknown-content dirs are droppable too once the
+            # excludes cover all of them) → unreferenced after commit, GC'd
+            if (known if known is not None else all_committed) <= ex:
+                continue
+            view.append({"path": ent["path"],
+                         "batches": ent["batches"],
+                         "exclude": sorted(ex)})
+        edges_bytes = 0
+        for b in sorted(dirty_batches):
             ext_p = with_batch.filter(F.col("batch") == b).drop("batch") \
                 .localCheckpoint()
             edges_p = self._materialize_batch(ext_p, merged, forms_c, nodes,
                                               edges_final, index_all)
-            parts.append(edges_p.withColumn("src_batch", F.lit(b)))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        self._write_part(out, "edges", bid, gen=gen)
+            self._write_part(edges_p.withColumn("src_batch", F.lit(b)),
+                             "edges", b, gen=gen)
+            d = self._path("edges", f"g={gen}", f"batch={b}")
+            edges_bytes += sum(os.path.getsize(os.path.join(r, f))
+                               for r, _, fs in os.walk(d) for f in fs)
+            view.append({"path": os.path.relpath(d, self.out_dir),
+                         "batches": [b], "exclude": []})
+        n_carried = len(view) - len(dirty_batches)
 
         st["n_batches"] = bid + 1
         st["gen"] = gen
+        st["edges_sources"] = view
         if hi is not None:
             st["max_conv_id"] = max(st["max_conv_id"], hi)
         if batch_id is not None:
@@ -897,10 +998,10 @@ class IncrementalKG:
             "n_keyed_rows": int(n_keyed),
             "full_rebuild": bool(full_rebuild),
             "n_rematerialized_batches": len(dirty_batches),
+            "n_edges_dirs_carried": n_carried,
+            "edges_bytes_written": edges_bytes,
             "wall_sec": round(time.time() - t0, 2)})
-        # the consolidated g=gen dir now covers every batch, including any
-        # pre-upgrade legacy edges dirs read through _edges_parts — absorb
-        self._commit(st, extra_gc=self._legacy_edges_gc(st))
+        self._commit(st)
         self._maybe_autocompact()
 
     # -- compaction ---------------------------------------------------------
@@ -930,15 +1031,18 @@ class IncrementalKG:
                            ("keyed_forms", _KF_DDL)):
             df = self._parts(table, bid, ddl, gen=st["gen"])
             self._write_part(df, table, bid, gen=gen)
-        extra_gc = []
         edges_all = self._edges_parts(bid, st["gen"], st, required=False)
         if edges_all is not None:
             self._write_part(edges_all, "edges", bid, gen=gen)
-            # compaction is also the migration point for a pre-upgrade
-            # store's legacy edges/batch=N dirs (ADVICE r5 high)
-            extra_gc = self._legacy_edges_gc(st)
+            # the consolidated dir becomes the whole view: every other
+            # edges directory (per-batch, old-generation carried, and any
+            # pre-upgrade legacy edges/batch=N — ADVICE r5 high) is now
+            # unreferenced and GC'd with one-commit retention
+            st["edges_sources"] = [
+                {"path": os.path.join("edges", f"g={gen}", f"batch={bid}"),
+                 "batches": None, "exclude": []}]
         st["gen"] = gen
-        self._commit(st, extra_gc=extra_gc)
+        self._commit(st)
 
     # -- read side ---------------------------------------------------------
     # NOTE (one-commit GC retention, module docstring): a DataFrame handle

@@ -325,6 +325,89 @@ def test_oo_keyed_rows_proportional_to_batch(spark, tmp_path):
     assert 3 * oo[0]["n_keyed_rows"] < sum(mono)
 
 
+def _disjoint_conv_rows(i: int):
+    """One hand-built conversation whose party names share NO word token
+    and NO char 5-gram with any other conversation's (every 5-char window
+    of both names contains the per-conv letter) — so an out-of-order
+    delivery of one conv affects ONLY its own forms: no block neighbours,
+    no key changes, no cascade.  The pool-based synth corpus can't do
+    this: shared org stems/suffixes make the block-neighbour closure an
+    O(store) fraction at test sizes."""
+    import datetime as dt
+    L = chr(ord("a") + i)
+    claimant = f"{L.upper()}ak{L}iv{L}on"
+    respondent = f"{L.upper()}ut{L}em{L}ar"
+    texts = [
+        ("IN THE UNITED STATES DISTRICT COURT\n"
+         f"Case No. 10-{10 + i}-100000{i}\n"
+         f"{claimant}, Claimant, and {respondent}, Respondent.\n"
+         "Motion to compel production of documents."),
+        "Counsel reviewed the record and summarized the open issues.",
+        "No further action items were recorded for this session.",
+    ]
+    ts0 = dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+    return [(f"conv-{i:08d}", t, "user" if t % 2 == 0 else "assistant",
+             txt, None, ts0 + dt.timedelta(minutes=t))
+            for t, txt in enumerate(texts)]
+
+
+def test_oo_metadata_only_carry_forward(spark, tmp_path):
+    """VERDICT r5 #5 acceptance: an out-of-order rewrite's carry-forward of
+    untouched batches is METADATA-ONLY — the committed state's edges view
+    keeps referencing the old-generation directories, only the dirty
+    batches are re-materialized on disk, and edges write IO (the
+    ``edges_bytes_written`` metric) scales with the dirty set, not the
+    store."""
+    from knowledgegraphsiqidis_spark.streaming.incremental import IncrementalKG
+
+    n = 12
+    rows = [r for i in range(n) for r in _disjoint_conv_rows(i)]
+    full = spark.createDataFrame(rows, schema=TRANSCRIPT_DDL)
+    expected = {tuple(r) for r in run_pipeline(spark, full)
+                .triples().collect()}
+
+    out = str(tmp_path / "mkg")
+    kg = IncrementalKG(spark, out)
+    for i in [0] + list(range(2, n)):  # conv 1 held back
+        kg.process_batch(full.filter(F.col("conv_id") == f"conv-{i:08d}"))
+    kg.process_batch(full.filter(F.col("conv_id") == "conv-00000001"))
+    assert {tuple(r) for r in kg.triples().collect()} == expected
+
+    oo = [m for m in kg.batch_metrics() if m["mode"] == "out_of_order"]
+    assert len(oo) == 1
+    m = oo[0]
+    # disjoint names: the targeted path must not cascade or full-rebuild
+    assert not m["full_rebuild"]
+    assert m["n_rematerialized_batches"] == 1  # only the late conv itself
+    assert m["n_edges_dirs_carried"] == n - 1
+    st = kg._state()
+    view = st["edges_sources"]
+    carried = [e for e in view if f"g={st['gen']}/" not in e["path"]]
+    written = [e for e in view if f"g={st['gen']}/" in e["path"]]
+    assert len(carried) == n - 1 and len(written) == 1
+    # carried dirs are REFERENCES to the previous generation's committed
+    # directories — alive on disk, never rewritten
+    assert all("g=0/" in e["path"] for e in carried)
+    for e in carried:
+        assert os.path.isdir(os.path.join(out, e["path"])), e
+    # write IO covered only the dirty dir: far below one store's worth
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(os.path.join(out, "edges"))
+                for f in fs)
+    assert 0 < m["edges_bytes_written"] < total / 4
+
+    # a subsequent monotonic batch appends to the view and keeps carrying
+    kg.process_batch(spark.createDataFrame(_disjoint_conv_rows(n),
+                                           schema=TRANSCRIPT_DDL))
+    st2 = kg._state()
+    assert len(st2["edges_sources"]) == n + 1
+    full2 = full.unionByName(spark.createDataFrame(
+        _disjoint_conv_rows(n), schema=TRANSCRIPT_DDL))
+    expected2 = {tuple(r) for r in run_pipeline(spark, full2)
+                 .triples().collect()}
+    assert {tuple(r) for r in kg.triples().collect()} == expected2
+
+
 def test_oo_crash_atomicity(spark, tmp_path, monkeypatch):
     """ADVICE r4 (medium): a crash anywhere inside the out-of-order rewrite
     must leave the COMMITTED snapshot fully readable — prior edges
@@ -415,14 +498,21 @@ def test_legacy_edges_layout_upgrade(spark, tmp_path):
     assert len(after_mono) > len(base_triples)
     assert glob.glob(os.path.join(out, "edges", "batch=*"))  # still live
 
-    # (c) out-of-order rewrite: carried edges come through the fallback and
-    # the consolidation absorbs the legacy layout
+    # (c) out-of-order rewrite: the rewrite installs the edges VIEW; any
+    # legacy dir whose batch it did not re-materialize is carried by
+    # REFERENCE (metadata-only), a fully-superseded one falls out of the
+    # view and is GC'd with one-commit retention.  Either way the triple
+    # set equals the single run and legacy dirs are still on disk here
+    # (referenced, or pending GC).
     kg.process_batch(full.filter((F.col("conv_id") >= c16)
                                  & (F.col("conv_id") < c24)))
     assert {tuple(r) for r in kg.triples().collect()} == expected
-    assert kg._state().get("edges_legacy_absorbed") is True
-    # one-commit retention: dirs are pending, deleted at the NEXT commit
+    assert kg._state().get("edges_sources") is not None
     assert glob.glob(os.path.join(out, "edges", "batch=*"))
+    # compaction consolidates the view into ONE dir; everything else —
+    # including the legacy layout — is gone after one commit of retention
+    kg.compact()
+    assert len(kg._state()["edges_sources"]) == 1
     kg.compact()
     assert not glob.glob(os.path.join(out, "edges", "batch=*"))
     assert {tuple(r) for r in kg.triples().collect()} == expected
