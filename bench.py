@@ -200,12 +200,26 @@ def main():
         t10: dict[str, float] = {}
         rows10: dict[str, int] = {}
         for name in ("dedup_exact_groups", "ngram_jaccard", "minhash_lsh",
-                     "simhash_pairs", "embedding_near_dup",
-                     "ann_cosine_topk", "ivf_topk"):
+                     "simhash_pairs", "ann_cosine_topk", "ivf_topk"):
             t = time.time()
             df = qs[name](spark, d10)
             rows10[name] = df.count()
             t10[name] = round(time.time() - t, 3)
+        # embedding near-dup at the SCALE configuration, not the 500-doc
+        # fixture's: 16-bit band buckets (bucket count grows with log2 N —
+        # 4-bit buckets at 50k docs measured 3.6M verified pairs / 18 min)
+        # plus the max_bucket hot-bucket cap, the ER max_block analogue
+        from knowledgegraphsiqidis_spark.operators.dedup import (
+            embedding_near_dup)
+        _ship_pkg = getattr(entrymod, "_ship_package", None)
+        if _ship_pkg:
+            _ship_pkg(spark)
+        t = time.time()
+        df = embedding_near_dup(
+            spark.read.parquet(os.path.join(d10, "documents.parquet")),
+            threshold=0.85, n_planes=64, bands=4, max_bucket=64)
+        rows10["embedding_near_dup_16bit_cap64"] = df.count()
+        t10["embedding_near_dup_16bit_cap64"] = round(time.time() - t, 3)
         scale2 = {
             "n_conversations": 2 * n_conv,
             "n_turns": int(n_turns2),

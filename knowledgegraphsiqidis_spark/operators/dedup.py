@@ -210,7 +210,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
 def embedding_near_dup(docs: DataFrame, threshold: float = 0.85,
                        dim: int = 64, n_planes: int = 16, bands: int = 4,
                        text_col: str = "text", id_col: str = "doc_id",
-                       emb: DataFrame | None = None) -> DataFrame:
+                       emb: DataFrame | None = None,
+                       max_bucket: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic member of the
     dedup family (exact / n-gram Jaccard / MinHash / SimHash / embedding).
 
@@ -231,4 +232,4 @@ def embedding_near_dup(docs: DataFrame, threshold: float = 0.85,
         emb = docs.select(F.col(id_col).alias("vec_id"),
                           _embed_udf(F.col(text_col)).alias("embedding"))
     return lsh_cosine_pairs(emb, dim=dim, n_planes=n_planes, bands=bands,
-                            threshold=threshold)
+                            threshold=threshold, max_bucket=max_bucket)

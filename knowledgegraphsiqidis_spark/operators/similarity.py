@@ -62,7 +62,8 @@ def _plane_table(spark, dim: int, n_planes: int, bands: int, seed: int = 7):
 def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
                      bands: int = 4, threshold: float = 0.8,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_bucket: int | None = None) -> DataFrame:
     """Near-neighbor pairs via banded random-hyperplane LSH + exact verify.
 
     OR-amplification across ``bands`` bands of ``n_planes/bands`` planes:
@@ -71,6 +72,18 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
     exact cosine.  The sign computation is one broadcast join against the
     plane table + one zip_with dot product per (vector, plane) row — all
     JVM-side, plan size independent of the embedding dimension.
+
+    ``max_bucket`` caps per-(band, bucket) occupancy at the earliest
+    ``max_bucket`` ids (deterministic; the ER ``max_block`` analogue): a
+    hot bucket is an exact/near-dup CLIQUE (identical vectors collide in
+    every band) or boilerplate cluster, where the first K members already
+    connect the component for dedup purposes, and pair output within a
+    bucket is otherwise O(occupancy²) — the measured failure mode at 10×
+    candidate volume (bench scale2: 4-bit buckets at 50k docs → 3.6M
+    verified pairs, 18 min).  None = uncapped (exact pair set; the
+    CORRECTNESS oracle replicates the uncapped banding).  At corpus scale
+    also widen the bands: ``n_planes/bands`` bits per bucket should grow
+    with log₂(N) so random collisions stay O(1) per vector.
     """
     spark = embeddings.sparkSession
     base = (embeddings.select(F.col(id_col).alias("id"),
@@ -85,6 +98,10 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
                .agg(F.concat_ws("", F.transform(
                    F.array_sort(F.collect_list(F.struct("plane", "bit"))),
                    lambda s: s["bit"].cast("string"))).alias("bucket")))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        buckets = (buckets.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= max_bucket).drop("_rn"))
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (a.join(b, ["band", "bucket"])

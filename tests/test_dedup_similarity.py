@@ -102,6 +102,36 @@ def test_lsh_cosine_pairs(spark):
     assert all(a % 5 == b % 5 for a, b in got)
 
 
+def test_lsh_cosine_pairs_max_bucket(spark):
+    """The hot-bucket occupancy cap (the ER max_block analogue): capped
+    output is pairs among the EARLIEST max_bucket ids of each (band,
+    bucket) — a deterministic subset of the uncapped pair set that still
+    connects every clique's first members — and the default (None) stays
+    the exact uncapped set the CORRECTNESS oracle replicates."""
+    from knowledgegraphsiqidis_spark.operators.similarity import lsh_cosine_pairs
+    import math
+    vecs = []
+    for i in range(20):
+        # two ANTIPODAL cliques of 10 identical vectors each: every plane
+        # separates them (sign(p·v) != sign(p·-v)), so each (band, bucket)
+        # holds exactly one clique and the capped set is predictable
+        angle = (i % 2) * math.pi
+        vecs.append((i, [math.cos(angle), math.sin(angle)]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    full = {(r["id_a"], r["id_b"]) for r in
+            lsh_cosine_pairs(emb, dim=2, n_planes=4,
+                             threshold=0.99).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              lsh_cosine_pairs(emb, dim=2, n_planes=4, threshold=0.99,
+                               max_bucket=3).collect()}
+    assert capped <= full
+    # each clique (even ids / odd ids) keeps exactly its first 3 members
+    # -> C(3,2) = 3 pairs per clique
+    assert capped == {(0, 2), (0, 4), (2, 4), (1, 3), (1, 5), (3, 5)}
+    # uncapped: every within-clique pair (2 * C(10,2))
+    assert len(full) == 90
+
+
 def test_multimodal_plumbing(spark, docs):
     from knowledgegraphsiqidis_spark.operators.multimodal import (
         extract_features, synth_media)
