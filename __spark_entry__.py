@@ -96,8 +96,17 @@ def _dump_table(df: DataFrame, sf_dir: str, name: str) -> None:
     centroids, embedded vectors) under the per-sf oracle dump so the DuckDB
     oracle can re-derive the non-SQL-expressible stage's downstream logic
     from exactly the values the engine used (the resolution-queue
-    technique)."""
-    dump = os.path.join(_KG_DUMP_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    technique).
+
+    The bench's synthetic 10x-volume dirs (``/tmp/bench10x_*``) have no
+    oracle — no oracle_sql() entry ever reads a dump under that basename —
+    so dumping there only charged artifact IO to the scale2 operator
+    timings (ADVICE r6).  Skipped for those dirs; unchanged everywhere the
+    correctness harness runs."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("bench10x"):
+        return
+    dump = os.path.join(_KG_DUMP_ROOT, base)
     df.write.mode("overwrite").parquet(os.path.join(dump, name))
 
 

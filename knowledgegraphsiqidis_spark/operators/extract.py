@@ -29,12 +29,31 @@ _COLS = [f.name for f in EXTRACTIONS.fields]
 
 
 def extract_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Structural extraction for one conversation (pandas in/out)."""
+    """Structural extraction for one conversation (pandas in/out).
+
+    Group iteration is one ``np.lexsort`` over the whole batch + boundary
+    slicing, not ``pdf.groupby`` + per-group ``sort_values``/``fillna``:
+    at ~16 turns per conversation the per-group pandas machinery was ~15%
+    of the kernel (profiled).  Record CONTENT is unchanged; only the
+    conversation iteration order becomes conv_id-ascending, which no
+    consumer observes (every downstream op is relational and the lineage
+    checksum is order-insensitive).
+    """
     out: List[dict] = []
-    for conv_id, grp in pdf.groupby("conv_id", sort=False):
-        grp = grp.sort_values("turn_idx")
-        texts = grp["text"].fillna("").tolist()
-        turn_ids = grp["turn_idx"].to_numpy()
+    if not len(pdf):
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in _COLS})
+    conv_arr = pdf["conv_id"].to_numpy()
+    tidx_arr = pdf["turn_idx"].to_numpy()
+    text_arr = pdf["text"].to_numpy()
+    order = np.lexsort((tidx_arr, conv_arr))
+    conv_arr, tidx_arr = conv_arr[order], tidx_arr[order]
+    text_arr = text_arr[order]
+    bounds = np.flatnonzero(
+        np.r_[True, conv_arr[1:] != conv_arr[:-1]]).tolist() + [len(conv_arr)]
+    for b0, b1 in zip(bounds, bounds[1:]):
+        conv_id = conv_arr[b0]
+        texts = ["" if t is None or t != t else t for t in text_arr[b0:b1]]
+        turn_ids = tidx_arr[b0:b1]
         doc = "\n".join(texts)
         # starts[i] = offset of turn i in doc
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
