@@ -42,9 +42,17 @@ def canonical_map(
     """
     forms = entity_forms(extractions).localCheckpoint()
     queue = None
+    keyed = None
     if match_fn is None:
+        # One capped block-keying pass shared by the ER candidate self-join
+        # and the occurrence-map member side (they key the identical table;
+        # keying — explode + df caps — was the most expensive part of both,
+        # and ran twice per build before).
+        from .resolve import _block_keys
+        keyed = _block_keys(forms.filter(F.col("er_type") != "Document"),
+                            max_block).localCheckpoint()
         matches = match_edges(forms, threshold=threshold,
-                              max_block=max_block)
+                              max_block=max_block, keyed=keyed)
     else:
         matches, queue = match_fn(forms)
     matches = matches.localCheckpoint()
@@ -69,7 +77,8 @@ def canonical_map(
         F.lit("confirmed").alias("confidence"),
         F.lit("active").alias("status"), "n_mentions"))
     occ = (occurrence_map(extractions, forms, forms_c, nodes, matches,
-                          threshold=threshold, max_block=max_block)
+                          threshold=threshold, max_block=max_block,
+                          members_keyed=keyed)
            if match_fn is None else None)
     return forms_c, nodes, queue, occ
 
@@ -200,28 +209,39 @@ def resolve_names(targets: DataFrame, extractions: DataFrame,
              .withColumn("component",
                          F.coalesce("occ_component", "component"))
              .drop("occ_component"))
-    m = m.localCheckpoint()
     t = targets.select("conv_id", "name_l").distinct()
 
-    exact = (m.join(t, (m.m_conv == t.conv_id) & (m.m_name_l == t.name_l))
-             .groupBy("conv_id", "name_l")
-             .agg(F.max_by("component", "seq").alias("component")))
-
-    unresolved = t.join(exact.select("conv_id", "name_l"),
-                        ["conv_id", "name_l"], "left_anti")
-    # Tier 3 replicates dict semantics exactly: entity_map keys iterate in
-    # FIRST-insertion order (min seq per raw name) but carry the LATEST
-    # overwrite's value (max_by component, seq) — hence the two-level agg.
+    # Tiers 1-3 fused into ONE conversation-local join + ONE aggregation
+    # (the r6 shape ran exact-equi join → anti-join → containment join —
+    # three passes over the mention map and ~4 extra exchanges; profiled at
+    # 17 s of the edges stage at 100k conversations).  ``keyed`` replicates
+    # dict semantics exactly: entity_map keys iterate in FIRST-insertion
+    # order (min seq per raw name) but carry the LATEST overwrite's value
+    # (max_by component, seq); ``last_seq`` additionally records the
+    # overwrite position so the exact tier's global max_by(component, seq)
+    # can be re-derived per lowered name across raw-name groups.  The join
+    # predicate is the tier-3 containment, which subsumes tier-1/2 equality;
+    # per (conv, target):
+    #   exact  = component at the globally latest equal-named mention
+    #            (max_by over last_seq, null ord for non-equal rows — the
+    #            old tier-1/2 max_by(component, seq) winner), else
+    #   partial = min_by(component, first_seq) over containment candidates
+    #            (old tier 3 — for targets with no exact hit the candidate
+    #            set is identical, equality being impossible).
     keyed = (m.groupBy("m_conv", "name", "m_name_l")
              .agg(F.min("seq").alias("first_seq"),
+                  F.max("seq").alias("last_seq"),
                   F.max_by("component", "seq").alias("component")))
-    partial = (unresolved
-               .join(keyed, (keyed.m_conv == F.col("conv_id"))
-                     & (F.col("name_l").contains(keyed.m_name_l)
-                        | keyed.m_name_l.contains(F.col("name_l"))))
-               .groupBy("conv_id", "name_l")
-               .agg(F.min_by("component", "first_seq").alias("component")))
-    resolved = exact.unionByName(partial)
+    j = t.join(keyed, (keyed.m_conv == F.col("conv_id"))
+               & (F.col("name_l").contains(keyed.m_name_l)
+                  | keyed.m_name_l.contains(F.col("name_l"))))
+    resolved = (j.groupBy("conv_id", "name_l")
+                .agg(F.max_by("component",
+                              F.when(F.col("m_name_l") == F.col("name_l"),
+                                     F.col("last_seq"))).alias("_exact"),
+                     F.min_by("component", "first_seq").alias("_partial"))
+                .select("conv_id", "name_l",
+                        F.coalesce("_exact", "_partial").alias("component")))
     if not global_fallback:
         return resolved
     from .resolve import containment_candidates

@@ -205,7 +205,8 @@ def containment_candidates(forms: DataFrame, queries: DataFrame,
             .select("q_key", "q_name", "q_etype", "m_key"))
 
 
-def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> DataFrame:
+def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK,
+                    keyed: DataFrame | None = None) -> DataFrame:
     """Blocked self-join → scored candidate match pairs (form_key_a < form_key_b).
 
     Blocking is type-free — the reference's LIKE candidate search spans all
@@ -226,9 +227,17 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK) -> Dat
     resolution targets.)  This also keeps the per-conversation-unique doc
     names — one new form per conversation forever — out of the gram-key
     space.
+
+    ``keyed``: precomputed capped block-key table for the non-Document
+    forms (``_block_keys(forms.filter(er_type != 'Document'), max_block)``)
+    — the same table ``containment_candidates`` consumes as
+    ``members_keyed``, so one keying pass (explode + df caps, the most
+    expensive part of blocking) serves both the ER self-join and the
+    occurrence re-resolution (profiled: keying ran 2-3x per build before).
     """
-    keyed = _block_keys(forms.filter(F.col("er_type") != "Document"),
-                        max_block)
+    if keyed is None:
+        keyed = _block_keys(forms.filter(F.col("er_type") != "Document"),
+                            max_block)
 
     a = keyed.select(F.col("name").alias("name_a"),
                      F.col("form_key").alias("key_a"), "block")
@@ -268,7 +277,8 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
                 canonical_rounds: int = 3,
                 emb_confirm: float | None = None,
                 return_queue: bool = False,
-                return_artifacts: bool = False):
+                return_artifacts: bool = False,
+                keyed: DataFrame | None = None):
     """Accepted match pairs (key_a, key_b) for connected components.
 
     Two reference-resolver behaviors are replicated
@@ -300,7 +310,7 @@ def match_edges(forms: DataFrame, threshold: float = MATCH_THRESHOLD,
     the Spark shape of the reference's ``resolution_queue`` table
     (database.py:517-530).
     """
-    pairs = candidate_pairs(forms, max_block).localCheckpoint()
+    pairs = candidate_pairs(forms, max_block, keyed=keyed).localCheckpoint()
 
     def best_candidates(scored: DataFrame) -> DataFrame:
         w = Window.partitionBy("key_b").orderBy(F.desc("score"),
