@@ -105,26 +105,34 @@ def _keyed_rows(forms: DataFrame) -> DataFrame:
             F.transform(F.sequence(F.lit(1), F.length(low) - 4),
                         lambda i: low.substr(i, F.lit(5))))
 
+    # Word/gram dedup is per-form set algebra — done with array ops in one
+    # projection + one explode, instead of the former explode-both-families
+    # + 6M-row groupBy(min(_gram)) whose only job was dropping gram rows
+    # that duplicate a word row (array_except does that per form, shuffle-
+    # free).  Output rows identical: words keep _gram=False, gram-only keys
+    # _gram=True, length/stopword filter unchanged.
     base = forms.select("name", "norm_name", "er_type", "form_key",
                         F.lower("name").alias("_ln"),
                         F.lower("norm_name").alias("_lnn"))
-    words = base.select(
-        "name", "norm_name", "er_type", "form_key",
-        F.explode(F.array_distinct(F.concat(
-            F.array(F.col("_lnn")),
-            F.split("_lnn", r"\s+"),
-            F.split("_ln", r"\s+")))).alias("block"),
-        F.lit(False).alias("_gram"))
-    gram = base.select(
-        "name", "norm_name", "er_type", "form_key",
-        F.explode(F.array_distinct(F.concat(
-            grams(F.col("_lnn")), grams(F.col("_ln"))))).alias("block"),
-        F.lit(True).alias("_gram"))
-    return (words.unionByName(gram)
-            .filter((F.length("block") > 1)
-                    & ~F.col("block").isin(*_STOP_BLOCKS))
-            .groupBy("form_key", "er_type", "name", "norm_name", "block")
-            .agg(F.min("_gram").alias("_gram")))
+    keyfilter = (lambda c: (F.length(c) > 1)
+                 & ~c.isin(*_STOP_BLOCKS))
+    words = F.filter(F.array_distinct(F.concat(
+        F.array(F.col("_lnn")),
+        F.split("_lnn", r"\s+"),
+        F.split("_ln", r"\s+"))), keyfilter)
+    gram_only = F.filter(F.array_except(
+        F.array_distinct(F.concat(grams(F.col("_lnn")),
+                                  grams(F.col("_ln")))), words), keyfilter)
+    both = F.concat(
+        F.transform(words, lambda w: F.struct(w.alias("block"),
+                                              F.lit(False).alias("_gram"))),
+        F.transform(gram_only, lambda g: F.struct(g.alias("block"),
+                                                  F.lit(True).alias("_gram"))))
+    return (base.select("name", "norm_name", "er_type", "form_key",
+                        F.explode(both).alias("bb"))
+            .select("form_key", "er_type", "name", "norm_name",
+                    F.col("bb.block").alias("block"),
+                    F.col("bb._gram").alias("_gram")))
 
 
 def _block_keys(forms: DataFrame | None, max_block: int | None,
@@ -197,12 +205,17 @@ def containment_candidates(forms: DataFrame, queries: DataFrame,
         F.col("er_type").alias("q_etype"), F.col("form_key").alias("q_key"),
         "block")
     lm, lq, lqn = F.lower("m_name"), F.lower("q_name"), F.lower("q_norm")
+    # contains BEFORE dropDuplicates: the containment predicate depends only
+    # on per-key columns (identical across a pair's duplicate block rows),
+    # so filtering first is result-identical and shrinks the dedup
+    # aggregation from the raw block-join output to the surviving pairs
+    # (it also stops the planner sorting 4 carried strings through the
+    # dedup — profiled as the bulk of containment_candidates' cost).
     return (qs.join(members, ["block"])
             .filter(F.col("m_key") != F.col("q_key"))
-            .drop("block")
-            .dropDuplicates(["q_key", "m_key"])
             .filter(lm.contains(lq) | lm.contains(lqn))
-            .select("q_key", "q_name", "q_etype", "m_key"))
+            .select("q_key", "q_name", "q_etype", "m_key")
+            .dropDuplicates(["q_key", "m_key"]))
 
 
 def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK,
@@ -250,13 +263,17 @@ def candidate_pairs(forms: DataFrame, max_block: int = DEFAULT_MAX_BLOCK,
     nb = F.lower("norm_b")
     pairs = (a.join(b, ["block"])
              .filter(F.col("key_a") < F.col("key_b"))
-             .drop("block")
-             .dropDuplicates(["key_a", "key_b"])
              # Reference candidate generation is direction-sensitive
              # (database.py:204-215): the STORED (earlier, key_a) name must
              # contain the incoming (later, key_b) query — raw or normalized
-             # (extraction_pipeline.py:636-643).
-             .filter(la.contains(lb) | la.contains(nb)))
+             # (extraction_pipeline.py:636-643).  Applied BEFORE the pair
+             # dedup: the predicate is identical across a pair's duplicate
+             # block rows, so this is result-identical and the dedup
+             # aggregates the surviving pairs instead of the raw block-join
+             # output (same reordering as containment_candidates).
+             .filter(la.contains(lb) | la.contains(nb))
+             .drop("block")
+             .dropDuplicates(["key_a", "key_b"]))
     return pairs.withColumn("score", _pair_score("name_a", "name_b", "etype_b"))
 
 
