@@ -59,6 +59,22 @@ def _plane_table(spark, dim: int, n_planes: int, bands: int, seed: int = 7):
         rows, "plane int, band int, pvec array<double>")
 
 
+def _band_plane_table(spark, dim: int, n_planes: int, bands: int,
+                      seed: int = 7):
+    """``_plane_table`` pre-grouped per band: (band, pvecs) with the band's
+    plane normals in ascending plane order — IDENTICAL vectors (same rng
+    draw sequence), so buckets computed from it match the flat table's
+    bit-for-bit.  Lets the sign computation emit one row per (vector,
+    band) directly instead of per (vector, plane) + a groupBy."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    planes = [rng.standard_normal(dim).tolist() for _ in range(n_planes)]
+    return spark.createDataFrame(
+        [(b, [planes[p] for p in range(n_planes) if p % bands == b])
+         for b in range(bands)],
+        "band int, pvecs array<array<double>>")
+
+
 def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
                      bands: int = 4, threshold: float = 0.8,
                      id_col: str = "vec_id",
@@ -89,15 +105,20 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
     base = (embeddings.select(F.col(id_col).alias("id"),
                               F.col(vec_col).cast("array<double>").alias("v"))
             .localCheckpoint())
-    planes = _plane_table(spark, dim, n_planes, bands)
-    signs = (base.crossJoin(F.broadcast(planes))
-             .select("id", "band", "plane",
-                     F.when(_dot(F.col("v"), F.col("pvec")) >= 0, F.lit(1))
-                     .otherwise(F.lit(0)).alias("bit")))
-    buckets = (signs.groupBy("id", "band")
-               .agg(F.concat_ws("", F.transform(
-                   F.array_sort(F.collect_list(F.struct("plane", "bit"))),
-                   lambda s: s["bit"].cast("string"))).alias("bucket")))
+    # One row per (vector, band) with the bucket bit-string computed in a
+    # single projection over the band's plane array — replaces the r6
+    # (vector × plane) crossJoin + groupBy(id, band)/collect_list/sort,
+    # which materialized and shuffled an N×n_planes intermediate.  Bucket
+    # strings are identical: same plane vectors (same rng sequence), same
+    # ascending-plane bit order, same >= 0 sign rule.
+    bplanes = _band_plane_table(spark, dim, n_planes, bands)
+    buckets = (base.crossJoin(F.broadcast(bplanes))
+               .select("id", "band",
+                       F.concat_ws("", F.transform(
+                           "pvecs",
+                           lambda p: F.when(_dot(F.col("v"), p) >= 0,
+                                            F.lit("1")).otherwise(F.lit("0"))))
+                       .alias("bucket")))
     if max_bucket is not None:
         w = Window.partitionBy("band", "bucket").orderBy("id")
         buckets = (buckets.withColumn("_rn", F.row_number().over(w))
@@ -172,9 +193,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Train: deterministic k-means on a seeded, bounded sample collected to
     the driver (the centroid table is tiny and broadcast — the one piece of
     ANN state worth centralizing; at 100 TB you'd train on the same bounded
-    sample).  Assign: every vector joins the broadcast centroid table and
-    keeps its argmax-cosine cell — one narrow crossJoin + window, JVM-side,
-    no Python in the plan.  Search: each query probes its ``n_probe``
+    sample).  Assign: every vector computes all cell cosines against the
+    LITERAL centroid array and keeps the argmax — one shuffle-free
+    projection, JVM-side, no Python in the plan (r7: replaced the
+    crossJoin + row_number window, whose N×n_centroids intermediate and
+    full sort were the operator's scale-invariant overhead).  Search: each
+    query probes its ``n_probe``
     nearest cells; exact cosine runs only inside probed cells, so the
     candidate join replaces the O(N·Q) cross product with O(N·Q·n_probe/
     n_centroids) expected work.  A vector lives in exactly one cell, so no
@@ -184,10 +208,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     worst case — raise ``n_centroids`` or pre-split oversized cells the
     same way resolve's blocking caps df-heavy keys.
     """
-    spark = embeddings.sparkSession
-    base = (embeddings.select(F.col(id_col).alias("vec_id"),
-                              F.col(vec_col).cast("array<double>").alias("v"))
-            .localCheckpoint())
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("v"))
     if centroids is None:
         sample = [r["v"] for r in
                   base.orderBy("vec_id").limit(train_sample).collect()]
@@ -196,49 +218,50 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     if not centroids:
         # no vectors → no cells to train; raising inside _kmeans_centroids
         # ((0,)-shaped norm / choice(0)) was the ADVICE r5 crash.  The
-        # empty frame keeps the inputs' id types; base's pin is released
-        # (nothing downstream references it on this path).
-        from .analytics import _unpin
-        empty = (queries.select(F.col(q_id_col).alias("query_id")).limit(0)
-                 .crossJoin(base.select("vec_id").limit(0))
-                 .select("query_id", "vec_id",
-                         F.lit(0).cast("int").alias("rank"),
-                         F.lit(0.0).alias("cosine"))
-                 .localCheckpoint())
-        _unpin(base)
-        return empty
-    cdf = F.broadcast(spark.createDataFrame(
-        [(int(i), list(c)) for i, c in enumerate(centroids)],
-        "cid int, cvec array<double>"))
+        # empty frame keeps the inputs' id types.
+        return (queries.select(F.col(q_id_col).alias("query_id")).limit(0)
+                .crossJoin(base.select("vec_id").limit(0))
+                .select("query_id", "vec_id",
+                        F.lit(0).cast("int").alias("rank"),
+                        F.lit(0.0).alias("cosine")))
+    # Centroids as a LITERAL array<array<double>> expression: assignment is
+    # one shuffle-free projection computing all cell cosines per row and an
+    # array argmax, replacing the r6 crossJoin(centroid table) + per-vector
+    # row_number window (an N×n_centroids intermediate plus a full shuffle
+    # and sort by vec_id, measured as most of the operator's scale-
+    # invariant ~7 s overhead).  Float math is identical: the same _dot/
+    # _norm fold expressions evaluate over literal arrays, and ties break
+    # to the smallest cid exactly like the old (desc _cs, asc cid) window —
+    # array_max on struct(cs, -cid) picks max cs then min cid.  This also
+    # removes both eager localCheckpoints (the pinned-result leak ADVICE r6
+    # flagged): the function is lazy again and pins nothing.
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                      for c in centroids])
 
-    def _cell_rank(df, vcol, keycol):
-        sim = (df.crossJoin(cdf)
-               .withColumn("_cs", _dot(F.col(vcol), F.col("cvec"))
-                           / (_norm(F.col(vcol)) * _norm(F.col("cvec")))))
-        w = Window.partitionBy(keycol).orderBy(F.desc("_cs"), F.asc("cid"))
-        return sim.withColumn("_cr", F.row_number().over(w))
+    def _cell_sims(vcol):
+        return F.transform(cents, lambda c: _dot(vcol, c)
+                           / (_norm(vcol) * _norm(c)))
 
-    assigned = (_cell_rank(base, "v", "vec_id")
-                .filter(F.col("_cr") == 1)
-                .select("vec_id", "v", "cid"))
+    best = F.array_max(F.transform(
+        _cell_sims(F.col("v")),
+        lambda s, i: F.struct(s.alias("cs"), (-i).alias("ncid"))))
+    assigned = base.select("vec_id", "v", (-best["ncid"]).alias("cid"))
     qs = queries.select(F.col(q_id_col).alias("query_id"),
                         F.col(q_vec_col).cast("array<double>").alias("q"))
-    probes = (_cell_rank(qs, "q", "query_id")
-              .filter(F.col("_cr") <= n_probe)
-              .select("query_id", "q", "cid"))
+    probe_cells = F.slice(F.array_sort(F.transform(
+        _cell_sims(F.col("q")),
+        lambda s, i: F.struct((-s).alias("ncs"), i.alias("cid")))),
+        1, n_probe)
+    probes = (qs.select("query_id", "q",
+                        F.explode(probe_cells).alias("pc"))
+              .select("query_id", "q", F.col("pc.cid").alias("cid")))
     sim = (assigned.join(F.broadcast(probes), "cid")
            .withColumn("cosine", _dot(F.col("v"), F.col("q"))
                        / (_norm(F.col("v")) * _norm(F.col("q"))))
            .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
-    out = (sim.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k)
-           .select("query_id", "vec_id", "rank",
-                   F.round("cosine", 4).alias("cosine"))
-           # materialize (small: ≤ Q×k rows) so base's pin can be released
-           # here instead of leaking until the caller's session ends
-           .localCheckpoint())
-    from .analytics import _unpin
-    _unpin(base)
-    return out
+    return (sim.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank",
+                    F.round("cosine", 4).alias("cosine")))
