@@ -179,17 +179,31 @@ def _alias_pattern(name: str) -> re.Pattern:
                       re.IGNORECASE)
 
 
+# Every character of a party match (name class, the \s*,\s* separator, the
+# quoted-role separator) is from this union; anything else — digits, ':',
+# ';' — cannot appear inside a match, so the leftmost possible match start
+# in a window is the start of the contiguous union-char run ending at the
+# role keyword.  Scanning the regex from there instead of the full lookback
+# window skips the quadratic retry over text that cannot participate.
+_PARTY_RUN_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ&., \t\n(\"'")
+
+
 def _party_matches(pat: re.Pattern, role: str, region: str, region_lower: str):
     spans = set()
     matches = []
     start = 0
+    run_chars = _PARTY_RUN_CHARS
     while True:
         k = region_lower.find(role, start)
         if k < 0:
             break
         w0 = max(0, k - _PARTY_LOOKBACK)
         w1 = min(len(region), k + len(role) + 24)
-        for m in pat.finditer(region, w0, w1):
+        rs = k
+        while rs > w0 and region[rs - 1] in run_chars:
+            rs -= 1
+        for m in pat.finditer(region, rs, w1):
             if m.span() not in spans:
                 spans.add(m.span())
                 matches.append(m)

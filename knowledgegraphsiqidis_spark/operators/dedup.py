@@ -90,6 +90,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_df).select("shingle"))
         sh = sh.join(keep, "shingle", "left_semi")
+    # cached: sizes and the pair source consume sh through differently-
+    # planned subtrees (broadcast vs shuffle semi-join), which defeats
+    # ReusedExchange — without the cache the shingle scan re-executes per
+    # branch (verified in the final AQE plan)
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_df is not None:
         # df-capped index: per-shingle posting lists are bounded by max_df,

@@ -119,9 +119,15 @@ def infer_stage(extractions: DataFrame) -> DataFrame:
 
     # The reference dedupes on lowered (src, dst, relation) pairs per document
     # (semantic_extractor.py:604); equivalent here as a case-insensitive
-    # dropDuplicates within conv_id.
-    return _dedupe(party_to.unionByName(opposes).unionByName(represents)
-                   .unionByName(employed).unionByName(affiliated))
+    # dropDuplicates within conv_id.  Applied PER RULE BRANCH: every branch
+    # carries a distinct pred literal, so the union-level dedup could never
+    # collapse rows across branches — and each branch inherits the shared
+    # conv_id hash partitioning, which satisfies the dedup's clustering, so
+    # the per-branch dedup plans with ZERO additional exchanges (the
+    # union-level dropDuplicates reshuffled the full triple stream).
+    return (_dedupe(party_to).unionByName(_dedupe(opposes))
+            .unionByName(_dedupe(represents)).unionByName(_dedupe(employed))
+            .unionByName(_dedupe(affiliated)))
 
 
 def _dedupe(triples: DataFrame) -> DataFrame:
@@ -183,4 +189,7 @@ def infer_facts_stage(extractions: DataFrame, facts: DataFrame) -> DataFrame:
                      F.col("ent").alias("obj"),
                      F.lit(0.6).alias("confidence")))
 
+    # NOT per-branch like infer_stage: these branches are not
+    # conv-co-partitioned, so per-branch dedup would plan three exchanges
+    # where the union-level one plans one.
     return _dedupe(paid.unionByName(breached).unionByName(binds))

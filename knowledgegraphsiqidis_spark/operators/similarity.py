@@ -235,8 +235,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # array_max on struct(cs, -cid) picks max cs then min cid.  This also
     # removes both eager localCheckpoints (the pinned-result leak ADVICE r6
     # flagged): the function is lazy again and pins nothing.
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                      for c in centroids])
+    # one true nested Literal, not CreateArray-of-CreateArrays — the latter
+    # re-evaluates n_centroids×dim literal nodes per row (measured as a 10x
+    # ivf regression before this fix)
+    cents = F.lit([[float(x) for x in c] for c in centroids])
 
     def _cell_sims(vcol):
         return F.transform(cents, lambda c: _dot(vcol, c)

@@ -291,7 +291,7 @@ class IncrementalKG:
                 "last_stream_batch": -1, "batch_metrics": [],
                 "pending_gc": []}
 
-    def _commit(self, st: dict, extra_gc=()) -> None:
+    def _commit(self, st: dict) -> None:
         """Atomic commit: every table this batch produced is already on
         disk; the state write is the single switch that makes them
         visible.  GC runs with ONE-COMMIT RETENTION: directories this
@@ -299,10 +299,11 @@ class IncrementalKG:
         PREVIOUS commit recorded is deleted now (crash-safe: the current
         version/generation is never touched, and a lazy reader handle
         obtained under the previous committed state survives this commit —
-        module docstring).  ``extra_gc``: directories superseded by this
-        commit that the layout scan below can't see."""
+        module docstring).  (r7: the never-passed ``extra_gc`` parameter
+        was dropped — ADVICE r6; every superseded directory is visible to
+        the layout scan below.)"""
         old_pending = st.get("pending_gc", [])
-        pending: list[str] = list(extra_gc)
+        pending: list[str] = []
         for snap in ("forms", "block_stats", "nodes"):
             keep = os.path.join(self.out_dir, snap, f"v={st['n_batches']}")
             pending += [d for d in

@@ -216,7 +216,7 @@ def test_incremental_crash_replay(spark, tmp_path, monkeypatch):
     t1 = {tuple(r) for r in kg.triples().collect()}
 
     monkeypatch.setattr(inc.IncrementalKG, "_commit",
-                        lambda self, st, extra_gc=(): None)  # crash @ commit
+                        lambda self, st: None)  # crash @ commit
     kg.process_batch(b2)
     monkeypatch.undo()
     # pre-commit: readers still see the batch-1 snapshot only
@@ -427,7 +427,7 @@ def test_oo_crash_atomicity(spark, tmp_path, monkeypatch):
     before = {tuple(r) for r in kg.triples().collect()}
 
     monkeypatch.setattr(inc.IncrementalKG, "_commit",
-                        lambda self, st, extra_gc=(): None)  # crash @ commit
+                        lambda self, st: None)  # crash @ commit
     kg.process_batch(full.filter((F.col("conv_id") >= c10)
                                  & (F.col("conv_id") < c20)))
     monkeypatch.undo()
