@@ -87,9 +87,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     """
     sh = _shingles(docs, text_col, id_col, n)
     if max_df is not None:
-        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df).select("shingle"))
-        sh = sh.join(keep, "shingle", "left_semi")
+        # ANTI-join the HOT shingles, not semi-join the kept ones — the
+        # complement sets are identical, but ``keep`` is nearly every
+        # distinct shingle of the corpus (at sf1.0 the planner's broadcast
+        # of it built a multi-GB hash relation and OOM'd the driver:
+        # "Not enough memory to build and broadcast"), while the over-cap
+        # hot set is small by definition and broadcasts as a map-side
+        # filter; if a pathological corpus makes it big the planner
+        # degrades to a shuffle join instead of an OOM.
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     # cached: sizes and the pair source consume sh through differently-
     # planned subtrees (broadcast vs shuffle semi-join), which defeats
     # ReusedExchange — without the cache the shingle scan re-executes per

@@ -335,6 +335,10 @@ class KGPipeline:
             # clustering — the four join sides plan with ZERO additional
             # exchanges.
             P = self.spark.sparkContext.defaultParallelism * 2
+            # (r7 measured dead end: sortWithinPartitions(conv_id, name_l)
+            # before this pin sped the relabel joins in isolation (~25%)
+            # but the sort's cost at checkpoint build ate the gain —
+            # whole-stage wall went 15-16.5 s -> 18 s at 100k convs.)
             mention_map = materialize.resolve_names(
                 targets, ext, forms_c, occ_map=occ_map,
                 global_fallback=self.tier4_global) \

@@ -30,7 +30,21 @@ def get_spark(app_name: str = "kgspark",
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+         # Local mode: the driver JVM is the whole cluster, and repeated
+         # pipeline runs accumulate dead pinned checkpoints.  r7 measured
+         # the heap both ways at sf1.0: 24g retained ~20 GB of near-dead
+         # blocks and ran 25% slower run-over-run (kg 122/122/147 s)
+         # than 8g (129/93/98 s) — eviction of dead pins is free — but one
+         # 8g run DIED with a heap OOM mid-bench (GCLocker/humongous-
+         # allocation pressure).  12g + a 2-minute ContextCleaner periodic
+         # GC (default 30min — far longer than a bench) keeps the
+         # eviction-friendly regime while actually RELEASING blocks whose
+         # python references died, and gives the marginal-8g case
+         # headroom.  Env-overridable; spark-submit sizes this on a real
+         # cluster.
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+         .config("spark.cleaner.periodicGC.interval",
+                 os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"))
          .config("spark.ui.enabled", "false")
          .config("spark.sql.session.timeZone", "UTC"))
     for k, v in (extra_conf or {}).items():
