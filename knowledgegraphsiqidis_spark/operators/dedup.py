@@ -40,20 +40,27 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int,
               distinct: bool = True) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 
-    ``distinct=False`` skips the per-doc dedup shuffle — correct for
-    consumers whose aggregate is duplicate-insensitive (MinHash's min)."""
+    ``distinct=True`` dedups with ``array_distinct`` on the per-row shingle
+    array BEFORE the explode: each input row is one document (ids are
+    unique), so per-row dedup equals the global (id, shingle) distinct —
+    without the full exchange the r6 code paid for ``.distinct()`` (and
+    paid once per consumer of the uncached stream).  ``distinct=False``
+    skips it — correct for consumers whose aggregate is
+    duplicate-insensitive (MinHash's min)."""
     toks = docs.select(F.col(id_col).alias("id"),
                        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT).alias("t"))
     if n == 1:
-        sh = toks.select("id", F.explode("t").alias("shingle"))
+        arr = F.col("t")
+        src = toks
     else:
         # zip the token array against its own n-1 shifted copies
-        expr = F.transform(
+        arr = F.transform(
             F.sequence(F.lit(0), F.size("t") - n),
             lambda i: F.concat_ws(" ", F.slice("t", i + 1, n)))
-        sh = toks.filter(F.size("t") >= n).select(
-            "id", F.explode(expr).alias("shingle"))
-    return sh.distinct() if distinct else sh
+        src = toks.filter(F.size("t") >= n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return src.select("id", F.explode(arr).alias("shingle"))
 
 
 def hot_shingles(docs: DataFrame, n: int = 3, max_df: int = 1000,
@@ -98,33 +105,37 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("shingle"))
         sh = sh.join(hot, "shingle", "left_anti")
-    # cached: sizes and the pair source consume sh through differently-
-    # planned subtrees (broadcast vs shuffle semi-join), which defeats
-    # ReusedExchange — without the cache the shingle scan re-executes per
-    # branch (verified in the final AQE plan)
-    sh = sh.cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    if max_df is not None:
         # df-capped index: per-shingle posting lists are bounded by max_df,
-        # so candidate pairs come from one groupBy (which REUSES the semi-
-        # join's shingle partitioning — zero extra exchange) + an ordered-
-        # combination explode, instead of the index self-join that shuffled
-        # and sorted the whole posting table twice.  Pair stream identical:
-        # one (id_a < id_b) row per shared shingle.
-        groups = (sh.groupBy("shingle")
-                  .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-                  .filter(F.size("ids") >= 2))
+        # so collect each ONCE — the compact (shingle, ids) posting table
+        # is the only thing cached (one long per occurrence; the r6/early-
+        # r7 code cached the exploded (id, shingle) STRING stream, whose
+        # deserialized columnar blocks were the in-suite heap-pressure
+        # term).  Sizes come from the same postings (an explode of bare
+        # longs — the per-doc row count over all posting lists IS the
+        # doc's filtered distinct-shingle count), candidate pairs from the
+        # ordered-combination explode.  Pair stream identical to the
+        # index self-join: one (id_a < id_b) row per shared shingle.
+        posts = (sh.groupBy("shingle")
+                 .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+                 .cache())
+        sizes = (posts.select(F.explode("ids").alias("id"))
+                 .groupBy("id").agg(F.count("*").alias("sz")))
         pairs = F.explode(F.flatten(F.transform(
             "ids", lambda x, i: F.transform(
                 F.slice("ids", i + F.lit(2), F.size("ids")),
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))))))
-        inter = (groups.select(pairs.alias("p"))
+        inter = (posts.filter(F.size("ids") >= 2)
+                 .select(pairs.alias("p"))
                  .select("p.id_a", "p.id_b")
                  .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
     else:
         # uncapped: posting lists are unbounded (a boilerplate shingle in k
         # docs would collect a k-element array in one aggregation buffer) —
-        # keep the self-join shape, which needs no per-key materialization
+        # keep the self-join shape, which needs no per-key materialization.
+        # cached: sizes and the self-join consume sh through differently-
+        # planned subtrees, which defeats ReusedExchange.
+        sh = sh.cache()
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
         a = sh.select(F.col("id").alias("id_a"), "shingle")
         b = sh.select(F.col("id").alias("id_b"), "shingle")
         inter = (a.join(b, "shingle")
