@@ -29,14 +29,24 @@ def _norm(a):
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 q_id_col: str = "query_id", q_vec_col: str = "query_vec") -> DataFrame:
-    """Exact brute-force cosine top-k per query (query set broadcast)."""
+    """Exact brute-force cosine top-k per query (query set broadcast).
+
+    Norms are hoisted out of the per-(vector, query) cosine: ``_norm(v)``
+    is computed once per base row and ``_norm(q)`` once per query row
+    BEFORE the cross join, instead of re-folding both 64-element arrays
+    for every joined pair (HOF folds are interpreted per element — guide
+    §4.1).  Bit-identical: the same fold expression produces the same
+    double, and the division tree ``dot / (vn * qn)`` is unchanged.
+    """
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).cast("array<double>").alias("v"))
-    qs = queries.select(F.col(q_id_col).alias("query_id"),
-                        F.col(q_vec_col).cast("array<double>").alias("q"))
+    base = base.withColumn("_vn", _norm(F.col("v")))
+    qs = (queries.select(F.col(q_id_col).alias("query_id"),
+                         F.col(q_vec_col).cast("array<double>").alias("q"))
+          .withColumn("_qn", _norm(F.col("q"))))
     sim = (base.crossJoin(F.broadcast(qs))
            .withColumn("cosine", _dot(F.col("v"), F.col("q"))
-                       / (_norm(F.col("v")) * _norm(F.col("q"))))
+                       / (F.col("_vn") * F.col("_qn")))
            .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (sim.withColumn("rank", F.row_number().over(w))
@@ -102,8 +112,14 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
     with log₂(N) so random collisions stay O(1) per vector.
     """
     spark = embeddings.sparkSession
+    # ``vn`` rides the checkpoint: the exact-verify join otherwise re-folds
+    # both vectors' norms per CANDIDATE PAIR (two interpreted 64-element
+    # folds per pair — guide §4.1); computing it once per vector at
+    # checkpoint build is bit-identical (same fold expression, same
+    # double) and roughly halves the verify stage's per-pair arithmetic.
     base = (embeddings.select(F.col(id_col).alias("id"),
                               F.col(vec_col).cast("array<double>").alias("v"))
+            .withColumn("vn", _norm(F.col("v")))
             .localCheckpoint())
     # One row per (vector, band) with the bucket bit-string computed in a
     # single projection over the band's plane array — replaces the r6
@@ -128,11 +144,13 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
     cand = (a.join(b, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                     F.col("vn").alias("vn_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                     F.col("vn").alias("vn_b"))
     return (cand.join(va, "id_a").join(vb, "id_b")
             .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b"))
-                        / (_norm(F.col("v_a")) * _norm(F.col("v_b"))))
+                        / (F.col("vn_a") * F.col("vn_b")))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
 
@@ -239,27 +257,48 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     # re-evaluates n_centroids×dim literal nodes per row (measured as a 10x
     # ivf regression before this fix)
     cents = F.lit([[float(x) for x in c] for c in centroids])
+    # Centroid norms precomputed ON THE DRIVER with the exact fold sequence
+    # the _norm expression evaluates (acc = 0.0; acc += x*x left-to-right;
+    # sqrt) — Python floats are IEEE doubles, so the literal equals the
+    # per-row fold's result bit-for-bit.  Row norms (_vn/_qn) are computed
+    # once per row instead of once per (row, cell): the old _cell_sims
+    # re-folded BOTH norms inside the per-cell lambda, tripling the
+    # interpreted per-element work of assignment and probe selection
+    # (guide §4.1; measured as most of the operator's cost at 10x volume).
+    # The division tree dot/(vn*nc) is unchanged, so cosines are identical.
 
-    def _cell_sims(vcol):
-        return F.transform(cents, lambda c: _dot(vcol, c)
-                           / (_norm(vcol) * _norm(c)))
+    import math
+
+    def _py_norm(c):
+        acc = 0.0
+        for x in c:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cnorms = F.lit([_py_norm(c) for c in centroids])
+
+    def _cell_sims(vcol, vn):
+        return F.transform(cents, lambda c, i: _dot(vcol, c)
+                           / (vn * F.element_at(cnorms, i + 1)))
 
     best = F.array_max(F.transform(
-        _cell_sims(F.col("v")),
+        _cell_sims(F.col("v"), F.col("_vn")),
         lambda s, i: F.struct(s.alias("cs"), (-i).alias("ncid"))))
-    assigned = base.select("vec_id", "v", (-best["ncid"]).alias("cid"))
-    qs = queries.select(F.col(q_id_col).alias("query_id"),
-                        F.col(q_vec_col).cast("array<double>").alias("q"))
+    assigned = (base.withColumn("_vn", _norm(F.col("v")))
+                .select("vec_id", "v", "_vn", (-best["ncid"]).alias("cid")))
+    qs = (queries.select(F.col(q_id_col).alias("query_id"),
+                         F.col(q_vec_col).cast("array<double>").alias("q"))
+          .withColumn("_qn", _norm(F.col("q"))))
     probe_cells = F.slice(F.array_sort(F.transform(
-        _cell_sims(F.col("q")),
+        _cell_sims(F.col("q"), F.col("_qn")),
         lambda s, i: F.struct((-s).alias("ncs"), i.alias("cid")))),
         1, n_probe)
-    probes = (qs.select("query_id", "q",
+    probes = (qs.select("query_id", "q", "_qn",
                         F.explode(probe_cells).alias("pc"))
-              .select("query_id", "q", F.col("pc.cid").alias("cid")))
+              .select("query_id", "q", "_qn", F.col("pc.cid").alias("cid")))
     sim = (assigned.join(F.broadcast(probes), "cid")
            .withColumn("cosine", _dot(F.col("v"), F.col("q"))
-                       / (_norm(F.col("v")) * _norm(F.col("q"))))
+                       / (F.col("_vn") * F.col("_qn")))
            .filter(F.col("vec_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
