@@ -395,8 +395,12 @@ def _q_embedding_near_dup(spark, sf):
                .select((F.col("doc_id") + 500000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" x")).alias("text")))
     alld = d.unionByName(planted)
-    emb = (alld.select(F.col("doc_id").alias("vec_id"),
-                       _embed_udf(F.col("text")).alias("embedding"))
+    # _spread before the UDF: the embedding pass's Python-worker
+    # parallelism equals the input partition count, and the small-bytes
+    # corpus scan otherwise runs it on 1-4 of the session's cores
+    from knowledgegraphsiqidis_spark.operators.dedup import _spread
+    emb = (_spread(alld).select(F.col("doc_id").alias("vec_id"),
+                                _embed_udf(F.col("text")).alias("embedding"))
            .localCheckpoint())
     _dump_table(emb, sf, "embdup_vecs")
     _dump_table(_plane_table(spark, 64, 16, 4), sf, "embdup_planes")

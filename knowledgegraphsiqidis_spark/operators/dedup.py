@@ -18,6 +18,28 @@ from pyspark.sql import DataFrame, Window, functions as F
 _TOKEN_SPLIT = r"\s+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a CPU-heavy input to the session's core count when the file
+    layout starves the map stage (guide §2.5 input skew / §6 split sizing):
+    the corpus parquet is small in BYTES, so the default 128 MB splits give
+    a handful of scan partitions, and the tokenize / shingle / hash /
+    embed stage — the CPU term — runs on 1-4 of 32 cores (measured: the
+    500k-doc bench corpus scans as 3 partitions).  Round-robin repartition
+    is result-neutral here: every consumer is an aggregation, equi-join or
+    rank window with deterministic output, and the exchange moves the text
+    bytes once, far below the cost of the starved compute.  Only widens —
+    an input already at/above core count (any real-scale corpus) passes
+    through untouched, so this never adds a payload shuffle at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    p = sc.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id)."""
@@ -47,8 +69,9 @@ def _shingles(docs: DataFrame, text_col: str, id_col: str, n: int,
     paid once per consumer of the uncached stream).  ``distinct=False``
     skips it — correct for consumers whose aggregate is
     duplicate-insensitive (MinHash's min)."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT).alias("t"))
+    toks = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT).alias("t"))
     if n == 1:
         arr = F.col("t")
         src = toks
@@ -237,9 +260,10 @@ def simhash(docs: DataFrame, text_col: str = "text",
     under whole-stage codegen, and the shuffle it pays is only 64 ints per
     doc after map-side partial aggregation.)
     """
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.split(F.lower(F.col(text_col)),
-                                         _TOKEN_SPLIT)).alias("tok"))
+    toks = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)),
+                          _TOKEN_SPLIT)).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
     votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
                           1).otherwise(-1)).alias(f"b{i}")
@@ -302,7 +326,10 @@ def embedding_near_dup(docs: DataFrame, threshold: float = 0.85,
     from ..operators.similarity import lsh_cosine_pairs
     from ..operators.resolve import _embed_udf
     if emb is None:
-        emb = docs.select(F.col(id_col).alias("vec_id"),
-                          _embed_udf(F.col(text_col)).alias("embedding"))
+        # _spread BEFORE the UDF projection: Python-worker parallelism for
+        # the embedding pass equals the input's partition count, and the
+        # small-bytes/heavy-CPU corpus scan otherwise runs it on 1-4 cores
+        emb = _spread(docs).select(F.col(id_col).alias("vec_id"),
+                                   _embed_udf(F.col(text_col)).alias("embedding"))
     return lsh_cosine_pairs(emb, dim=dim, n_planes=n_planes, bands=bands,
                             threshold=threshold, max_bucket=max_bucket)

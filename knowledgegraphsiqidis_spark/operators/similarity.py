@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import _spread
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -38,8 +40,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     §4.1).  Bit-identical: the same fold expression produces the same
     double, and the division tree ``dot / (vn * qn)`` is unchanged.
     """
-    base = embeddings.select(F.col(id_col).alias("vec_id"),
-                             F.col(vec_col).cast("array<double>").alias("v"))
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
     base = base.withColumn("_vn", _norm(F.col("v")))
     qs = (queries.select(F.col(q_id_col).alias("query_id"),
                          F.col(q_vec_col).cast("array<double>").alias("q"))
@@ -117,8 +120,9 @@ def lsh_cosine_pairs(embeddings: DataFrame, dim: int, n_planes: int = 16,
     # folds per pair — guide §4.1); computing it once per vector at
     # checkpoint build is bit-identical (same fold expression, same
     # double) and roughly halves the verify stage's per-pair arithmetic.
-    base = (embeddings.select(F.col(id_col).alias("id"),
-                              F.col(vec_col).cast("array<double>").alias("v"))
+    base = (_spread(embeddings)
+            .select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
             .withColumn("vn", _norm(F.col("v")))
             .localCheckpoint())
     # One row per (vector, band) with the bucket bit-string computed in a
@@ -226,8 +230,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     worst case — raise ``n_centroids`` or pre-split oversized cells the
     same way resolve's blocking caps df-heavy keys.
     """
-    base = embeddings.select(F.col(id_col).alias("vec_id"),
-                             F.col(vec_col).cast("array<double>").alias("v"))
+    base = _spread(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"))
     if centroids is None:
         sample = [r["v"] for r in
                   base.orderBy("vec_id").limit(train_sample).collect()]

@@ -43,6 +43,14 @@ def get_spark(app_name: str = "kgspark",
          # headroom.  Env-overridable; spark-submit sizes this on a real
          # cluster.
          .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+         # JVM unified logging defaults to STDOUT: under heap pressure the
+         # G1 "Retried waiting for GCLocker" warnings land in the middle of
+         # the bench's machine-parsed stdout (observed mid-sf1.0 run, right
+         # before the JSON line).  Route warnings to stderr where the rest
+         # of Spark's logging already goes; stdout stays clean for the
+         # one-JSON-line bench contract.
+         .config("spark.driver.extraJavaOptions",
+                 "-Xlog:disable -Xlog:all=warning:stderr")
          .config("spark.cleaner.periodicGC.interval",
                  os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"))
          .config("spark.ui.enabled", "false")
