@@ -36,13 +36,19 @@ def get_spark(app_name: str = "kgspark",
          # blocks and ran 25% slower run-over-run (kg 122/122/147 s)
          # than 8g (129/93/98 s) — eviction of dead pins is free — but one
          # 8g run DIED with a heap OOM mid-bench (GCLocker/humongous-
-         # allocation pressure).  12g + a 2-minute ContextCleaner periodic
-         # GC (default 30min — far longer than a bench) keeps the
+         # allocation pressure).  The 2-minute ContextCleaner periodic GC
+         # (default 30min — far longer than a bench) keeps the
          # eviction-friendly regime while actually RELEASING blocks whose
-         # python references died, and gives the marginal-8g case
-         # headroom.  Env-overridable; spark-submit sizes this on a real
-         # cluster.
-         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+         # python references died; with it in place the 24g finding no
+         # longer binds (it predated the periodic GC).  16g, not 12g:
+         # after the partition-starvation fix the dedup operators run 32
+         # concurrent tasks in their heavy aggregation stages, and a 12g
+         # heap that had survived that phase with GCLocker warnings
+         # (near-OOM) tipped into a task OutOfMemoryError when it followed
+         # six pipeline runs in one session; 16g restores the margin while
+         # staying in the small-heap eviction regime.  Env-overridable;
+         # spark-submit sizes this on a real cluster.
+         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
          # JVM unified logging defaults to STDOUT: under heap pressure the
          # G1 "Retried waiting for GCLocker" warnings land in the middle of
          # the bench's machine-parsed stdout (observed mid-sf1.0 run, right
