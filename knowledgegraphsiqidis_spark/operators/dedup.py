@@ -167,18 +167,26 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     if max_df is not None:
-        # Force sort-merge for the two sizes joins: under the compact-
-        # postings plan the planner's size estimate for ``inter`` collapses
-        # (cached-relation scan → explode → aggregate loses the true row
-        # count) and it BROADCASTS the pair-count table — at 500k docs
-        # that is a >1 GiB driver collect, killing the whole job on
-        # spark.driver.maxResultSize ("Total size of serialized results
-        # ... bigger than 1024.0 MiB", reproduced at the bench 10x
-        # volume).  The merge hint pins the strategy the estimate cannot
-        # be trusted to pick; SMJ shuffles ``inter`` by id but spills
-        # gracefully at any scale.  Results unchanged (join strategy
-        # only).
-        sz_a, sz_b = sz_a.hint("merge"), sz_b.hint("merge")
+        # The planner cannot be trusted to pick these two joins' strategy:
+        # under the compact-postings plan its size estimate for ``inter``
+        # collapses (cached-relation scan → explode → aggregate loses the
+        # true row count) and it once BROADCAST the pair-count table — at
+        # 500k docs a >1 GiB driver collect, killing the whole job on
+        # spark.driver.maxResultSize (reproduced at the bench 10x volume).
+        # Pick it ourselves from the one number that decides it, the
+        # per-doc sizes rowcount (≤ n_docs; counted over the cached posts,
+        # which the first action materializes anyway, so the probe job is
+        # one cheap re-aggregation).  Small → broadcast the (long, long)
+        # sizes table to BOTH joins, leaving the multi-million-row ``inter``
+        # stream unshuffled (measured 2x at the 50k-doc 10x volume:
+        # merge 16.8-24.2 s → broadcast 8.9-10.4 s, xor checksums equal).
+        # Large → pin sort-merge, which shuffles ``inter`` by id but spills
+        # gracefully at any corpus scale.  Strategy-only either way:
+        # results identical.
+        if sizes.count() <= 2_000_000:
+            sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+        else:
+            sz_a, sz_b = sz_a.hint("merge"), sz_b.hint("merge")
     return (inter.join(sz_a, "id_a").join(sz_b, "id_b")
             .withColumn("jaccard", F.col("inter")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
