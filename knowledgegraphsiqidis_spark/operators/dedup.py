@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _TOKEN_SPLIT = r"\s+"
 
+# ngram_jaccard_pairs: broadcast the per-doc sizes table into the final
+# joins when it has at most this many rows (≈ 32 MB of (long, long) hash
+# relation); above it, pin spill-safe sort-merge.  Data-size-derived, not
+# a core-count constant — at corpus scale the branch flips to SMJ by
+# itself.  Module-level so tests can force either branch.
+_SIZES_BROADCAST_MAX_DOCS = 2_000_000
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Widen a CPU-heavy input to the session's core count when the file
@@ -183,7 +190,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         # Large → pin sort-merge, which shuffles ``inter`` by id but spills
         # gracefully at any corpus scale.  Strategy-only either way:
         # results identical.
-        if sizes.count() <= 2_000_000:
+        if sizes.count() <= _SIZES_BROADCAST_MAX_DOCS:
             sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
         else:
             sz_a, sz_b = sz_a.hint("merge"), sz_b.hint("merge")

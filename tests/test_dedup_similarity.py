@@ -41,6 +41,26 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_sizes_join_strategy_invariant(spark, docs, monkeypatch):
+    """The df-capped path picks its sizes-join strategy from the sizes
+    rowcount (broadcast when small, sort-merge pin otherwise).  Strategy
+    must never change results: force EACH branch and compare the full
+    (id_a, id_b, jaccard) sets."""
+    from knowledgegraphsiqidis_spark.operators import dedup
+
+    def run():
+        return {(r["id_a"], r["id_b"], round(r["jaccard"], 6))
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.2, max_df=100).collect()}
+
+    monkeypatch.setattr(dedup, "_SIZES_BROADCAST_MAX_DOCS", 1_000_000)
+    bcast = run()
+    monkeypatch.setattr(dedup, "_SIZES_BROADCAST_MAX_DOCS", 0)
+    merge = run()
+    assert bcast == merge
+    assert bcast  # non-trivial pair set on the fixture corpus
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from knowledgegraphsiqidis_spark.operators.dedup import minhash_lsh_pairs
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
