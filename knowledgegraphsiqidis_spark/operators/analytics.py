@@ -54,13 +54,30 @@ def _unpin_quiesced(spark, *dfs) -> None:
     ``test_betweenness_releases_pinned_levels`` flake, VERDICT r6 #1).
     Waiting for ``getActiveJobsIds()`` to drain makes the release
     deterministic; the poll costs one status call when nothing is running.
+
+    A single quiet sample is NOT enough: AQE submits some of its detached
+    materializations from async threads (broadcast-exchange futures,
+    superseded stage re-optimizations), so a job can be REGISTERED
+    milliseconds after the drain check and then die on the freed block
+    (the CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND noise reproduced 1-in-3 in the
+    contract harness even after the drain barrier).  Require the scheduler
+    to stay quiet across three consecutive 50 ms-spaced samples before
+    releasing — a submission gap inside one sample window restarts the
+    wait; the 5 s cap still bounds the barrier.
     """
     import time
     try:
         tracker = spark.sparkContext.statusTracker()
         deadline = time.time() + 5.0
-        while tracker.getActiveJobsIds() and time.time() < deadline:
-            time.sleep(0.02)
+        quiet = 0
+        while quiet < 3 and time.time() < deadline:
+            if tracker.getActiveJobsIds():
+                quiet = 0
+                time.sleep(0.02)
+            else:
+                quiet += 1
+                if quiet < 3:
+                    time.sleep(0.05)
     except Exception:
         pass
     for df in dfs:
